@@ -1,0 +1,135 @@
+"""Tile binning for the splatting rasterizer.
+
+TPU-native replacement for the reference's CUB-based binning pipeline
+(/root/reference/submodules/diff-gaussian-rasterization/cuda_rasterizer/
+rasterizer_impl.cu:70-138,250-338): instead of prefix-sum + 64-bit
+(tile|depth)-key radix sort + per-tile range identification, we
+
+  1. depth-sort all Gaussians once (jnp.argsort; invalid -> +inf),
+  2. expand each Gaussian into its covered tile rect with a *static*
+     per-Gaussian tile budget (MAX_TILES_PER_GAUSSIAN; overflow is counted and
+     reported, never silently wrong: overflowing Gaussians keep their first
+     rows of tiles — overflow count is returned for logging),
+  3. sort the (tile, depth-rank) pairs by tile id with jax.lax.sort (stable, so
+     depth order is preserved within a tile),
+  4. compute per-tile [start, count) via searchsorted.
+
+Everything is static-shape and jit-safe. The pair list is the input to the
+Pallas render kernel (ops/rasterize_tpu.py); per-pair gradients are
+segment-summed back to Gaussians, which keeps the backward deterministic
+(no atomics — see SURVEY.md §5.2).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+def tile_rect(mean2d, radius, grid_h: int, grid_w: int, tile_h: int, tile_w: int):
+    """Covered tile rectangle per Gaussian (reference auxiliary.h getRect).
+
+    Returns (min_y, min_x, max_y, max_x) int32 arrays; max is exclusive.
+    Gaussians with radius 0 get an empty rect.
+    """
+    x = mean2d[..., 0]
+    y = mean2d[..., 1]
+    r = radius.astype(mean2d.dtype)
+    min_x = jnp.clip(jnp.floor((x - r) / tile_w), 0, grid_w).astype(jnp.int32)
+    max_x = jnp.clip(jnp.floor((x + r + tile_w - 1) / tile_w), 0, grid_w).astype(jnp.int32)
+    min_y = jnp.clip(jnp.floor((y - r) / tile_h), 0, grid_h).astype(jnp.int32)
+    max_y = jnp.clip(jnp.floor((y + r + tile_h - 1) / tile_h), 0, grid_h).astype(jnp.int32)
+    empty = radius <= 0
+    max_x = jnp.where(empty, min_x, max_x)
+    max_y = jnp.where(empty, min_y, max_y)
+    return min_y, min_x, max_y, max_x
+
+
+class TileBinning(NamedTuple):
+    """Static-shape binning result.
+
+    pair_gaussian: (NPAIRS,) int32 — index into the *original* Gaussian arrays
+      for each (tile, gaussian) pair, depth-sorted within each tile;
+      NPAIRS = P * max_tiles_per_gaussian. Dead pairs point at index 0 but are
+      excluded by pair_valid.
+    pair_tile: (NPAIRS,) int32 tile id (= ty * grid_w + tx), dead pairs get
+      num_tiles (sorted to the end).
+    pair_valid: (NPAIRS,) bool.
+    tile_start: (num_tiles,) int32 offset of each tile's slice in the pair list.
+    tile_count: (num_tiles,) int32 number of pairs in each tile.
+    overflow: () int32 — total tiles dropped due to the per-Gaussian budget.
+    """
+
+    pair_gaussian: jnp.ndarray
+    pair_tile: jnp.ndarray
+    pair_valid: jnp.ndarray
+    tile_start: jnp.ndarray
+    tile_count: jnp.ndarray
+    overflow: jnp.ndarray
+
+
+def bin_gaussians(
+    mean2d,
+    depth,
+    radius,
+    valid,
+    height: int,
+    width: int,
+    tile_h: int,
+    tile_w: int,
+    max_tiles_per_gaussian: int = 32,
+) -> TileBinning:
+    """Build the depth-ordered per-tile pair list (see module docstring)."""
+    P = mean2d.shape[0]
+    grid_h = -(-height // tile_h)
+    grid_w = -(-width // tile_w)
+    num_tiles = grid_h * grid_w
+    B = max_tiles_per_gaussian
+
+    # 1. Global depth order (stable; invalid last).
+    sort_depth = jnp.where(valid, depth, jnp.inf)
+    order = jnp.argsort(sort_depth)  # (P,)
+
+    min_y, min_x, max_y, max_x = tile_rect(mean2d, radius, grid_h, grid_w, tile_h, tile_w)
+    min_y, min_x = min_y[order], min_x[order]
+    max_y, max_x = max_y[order], max_x[order]
+    v_sorted = valid[order]
+
+    n_x = max_x - min_x
+    n_y = max_y - min_y
+    n_tiles = n_x * n_y
+    overflow = jnp.sum(jnp.where(v_sorted, jnp.maximum(n_tiles - B, 0), 0))
+
+    # 2. Expand: slot b of Gaussian k covers tile (min_y + b // n_x, min_x + b % n_x).
+    slot = jnp.arange(B, dtype=jnp.int32)[None, :]  # (1, B)
+    n_x_safe = jnp.maximum(n_x, 1)[:, None]
+    ty = min_y[:, None] + slot // n_x_safe
+    tx = min_x[:, None] + slot % n_x_safe
+    pair_live = v_sorted[:, None] & (slot < jnp.minimum(n_tiles, B)[:, None])
+    tile_id = jnp.where(pair_live, ty * grid_w + tx, num_tiles).astype(jnp.int32)
+
+    # 3. Stable sort pairs by tile id; values carry (depth-rank -> gaussian id).
+    gauss_id = jnp.broadcast_to(order[:, None], (P, B)).astype(jnp.int32)
+    tile_flat = tile_id.reshape(-1)
+    gauss_flat = gauss_id.reshape(-1)
+    live_flat = pair_live.reshape(-1)
+    # jax.lax.sort is stable: within a tile, pairs keep global depth order
+    # because the pair list is built in depth-rank-major order.
+    tile_sorted, gauss_sorted, live_sorted = jax.lax.sort(
+        (tile_flat, gauss_flat, live_flat.astype(jnp.int32)), num_keys=1
+    )
+
+    # 4. Per-tile ranges.
+    tiles = jnp.arange(num_tiles, dtype=jnp.int32)
+    tile_start = jnp.searchsorted(tile_sorted, tiles, side="left").astype(jnp.int32)
+    tile_end = jnp.searchsorted(tile_sorted, tiles, side="right").astype(jnp.int32)
+
+    return TileBinning(
+        pair_gaussian=gauss_sorted,
+        pair_tile=tile_sorted,
+        pair_valid=live_sorted.astype(bool),
+        tile_start=tile_start,
+        tile_count=tile_end - tile_start,
+        overflow=overflow,
+    )

@@ -1,0 +1,150 @@
+"""Gaussian preprocess: 3D -> 2D projection, EWA covariance, conic/radius/culling.
+
+Pure-jnp re-derivation of the per-Gaussian preprocess stage of the reference
+CUDA rasterizer (/root/reference/submodules/diff-gaussian-rasterization/
+cuda_rasterizer/forward.cu:154-256 and auxiliary.h:139-164):
+
+  * near culling at view z <= 0.2
+  * perspective projection with the +1e-7 w-guard
+  * EWA 2D covariance cov2d = J U Sigma U^T J^T with the 1.3*tan_fov frustum
+    clamp on the view-space point and the +0.3 low-pass on the diagonal
+  * conic = inverse cov2d; screen radius = ceil(3 sqrt(max eigenvalue))
+  * ndc2Pix pixel mapping ((v+1)*S - 1)/2
+
+This runs fully vectorized over all P Gaussians (VPU-friendly elementwise math;
+XLA fuses it). The rasterizer consumes the returned `Projected` struct; both the
+jnp oracle (ops/rasterize_ref.py) and the Pallas kernel (ops/rasterize_tpu.py)
+share it, so their numerical contract is identical by construction.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from .transforms import unpack_cov3d
+
+NEAR_Z = 0.2  # reference auxiliary.h:151 in_frustum near plane
+LOWPASS = 0.3  # reference forward.cu:110-111 dilation of the 2D covariance
+
+
+class Projected(NamedTuple):
+    """Per-Gaussian screen-space quantities (all (P,...) arrays)."""
+
+    mean2d: jnp.ndarray    # (P, 2) pixel coords
+    depth: jnp.ndarray     # (P,) view-space z
+    conic: jnp.ndarray     # (P, 3) inverse 2D covariance [a, b, c] for [[a,b],[b,c]]
+    radius: jnp.ndarray    # (P,) int32 screen radius (0 for culled)
+    color: jnp.ndarray     # (P, C) per-view RGB (SH already evaluated) or features
+    opacity: jnp.ndarray   # (P,) sigmoid-activated opacity
+    valid: jnp.ndarray     # (P,) bool: survives culling
+
+
+def ndc2pix(v, size):
+    return ((v + 1.0) * size - 1.0) * 0.5
+
+
+def project_points(means3d, world_view, full_proj):
+    """World points -> (view_z, ndc xyz). Row-vector convention (camera.py)."""
+    ones = jnp.ones_like(means3d[..., :1])
+    hom = jnp.concatenate([means3d, ones], axis=-1)
+    p_view = hom @ world_view
+    p_hom = hom @ full_proj
+    p_w = 1.0 / (p_hom[..., 3] + 1e-7)
+    p_proj = p_hom[..., :3] * p_w[..., None]
+    return p_view[..., 2], p_proj
+
+
+def ewa_cov2d(means3d, cov3d_packed, world_view, focal_x, focal_y, tan_fovx, tan_fovy):
+    """EWA splatting 2D covariance (reference forward.cu:74-113).
+
+    Returns (P, 3) packed [xx, xy, yy] including the +0.3 low-pass.
+    """
+    U = world_view[:3, :3].T  # math world->view rotation (x_view = U x_world)
+    ones = jnp.ones_like(means3d[..., :1])
+    t = (jnp.concatenate([means3d, ones], axis=-1) @ world_view)[..., :3]
+
+    tz = t[..., 2]
+    limx = 1.3 * tan_fovx
+    limy = 1.3 * tan_fovy
+    tx = jnp.clip(t[..., 0] / tz, -limx, limx) * tz
+    ty = jnp.clip(t[..., 1] / tz, -limy, limy) * tz
+
+    inv_tz = 1.0 / tz
+    inv_tz2 = inv_tz * inv_tz
+    # J: 2x3 Jacobian of perspective projection at the clamped view point.
+    j00 = focal_x * inv_tz
+    j02 = -focal_x * tx * inv_tz2
+    j11 = focal_y * inv_tz
+    j12 = -focal_y * ty * inv_tz2
+    zeros = jnp.zeros_like(j00)
+    J = jnp.stack(
+        [jnp.stack([j00, zeros, j02], axis=-1),
+         jnp.stack([zeros, j11, j12], axis=-1)],
+        axis=-2,
+    )  # (P, 2, 3)
+
+    Sigma = unpack_cov3d(cov3d_packed)  # (P, 3, 3)
+    M = J @ U  # (P, 2, 3)
+    cov = M @ Sigma @ jnp.swapaxes(M, -1, -2)  # (P, 2, 2)
+    xx = cov[..., 0, 0] + LOWPASS
+    xy = cov[..., 0, 1]
+    yy = cov[..., 1, 1] + LOWPASS
+    return jnp.stack([xx, xy, yy], axis=-1)
+
+
+def conic_and_radius(cov2d):
+    """Invert 2D covariance; screen radius from eigenvalues (forward.cu:218-232).
+
+    Returns (conic (P,3), radius (P,) float, det (P,)).
+    """
+    xx, xy, yy = cov2d[..., 0], cov2d[..., 1], cov2d[..., 2]
+    det = xx * yy - xy * xy
+    det_inv = 1.0 / jnp.where(det != 0.0, det, 1.0)
+    conic = jnp.stack([yy * det_inv, -xy * det_inv, xx * det_inv], axis=-1)
+    mid = 0.5 * (xx + yy)
+    disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    lam1 = mid + disc
+    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam1, mid - disc)))
+    return conic, radius, det
+
+
+def preprocess(
+    means3d,
+    cov3d_packed,
+    color,
+    opacity,
+    camera,
+    valid_mask=None,
+) -> Projected:
+    """Full per-Gaussian preprocess (culling + projection + conic).
+
+    `color` is the already-evaluated per-view RGB (use ops.sh.sh_to_color) or
+    any per-Gaussian feature vector; `opacity` is (P,) or (P,1) activated.
+    `valid_mask` optionally marks capacity-padding slots dead (static-shape
+    densification, see models/gaussians.py).
+    """
+    opacity = opacity.reshape(opacity.shape[0])
+    depth, p_proj = project_points(means3d, camera.world_view, camera.full_proj)
+    cov2d = ewa_cov2d(
+        means3d, cov3d_packed, camera.world_view,
+        camera.focal_x, camera.focal_y, camera.tan_fovx, camera.tan_fovy,
+    )
+    conic, radius, det = conic_and_radius(cov2d)
+    mean2d = jnp.stack(
+        [ndc2pix(p_proj[..., 0], camera.width), ndc2pix(p_proj[..., 1], camera.height)],
+        axis=-1,
+    )
+    valid = (depth > NEAR_Z) & (det > 0.0)
+    if valid_mask is not None:
+        valid = valid & valid_mask
+    radius = jnp.where(valid, radius, 0.0).astype(jnp.int32)
+    return Projected(
+        mean2d=mean2d,
+        depth=depth,
+        conic=conic,
+        radius=radius,
+        color=color,
+        opacity=opacity,
+        valid=valid & (radius > 0),
+    )

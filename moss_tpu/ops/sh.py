@@ -1,0 +1,106 @@
+"""Real spherical-harmonics evaluation for Gaussian view-dependent color.
+
+Degree 0..3 evaluation with the standard real-SH constants, matching the
+semantics of the reference CUDA evaluator
+(/root/reference/submodules/diff-gaussian-rasterization/cuda_rasterizer/forward.cu:20-71)
+and the python helper (/root/reference/utils/sh_utils.py): colors are
+``eval_sh(deg, sh, dir) + 0.5`` clamped to >= 0.
+
+All functions are pure jnp and differentiable; XLA fuses them into the
+surrounding projection/rasterization computation.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+SH_C0 = 0.28209479177387814
+SH_C1 = 0.4886025119029199
+SH_C2 = (
+    1.0925484305920792,
+    -1.0925484305920792,
+    0.31539156525252005,
+    -1.0925484305920792,
+    0.5462742152960396,
+)
+SH_C3 = (
+    -0.5900435899266435,
+    2.890611442640554,
+    -0.4570457994644658,
+    0.3731763325901154,
+    -0.4570457994644658,
+    1.445305721320277,
+    -0.5900435899266435,
+)
+
+
+def rgb_to_sh(rgb):
+    """Convert an RGB albedo in [0,1] into the degree-0 SH coefficient."""
+    return (rgb - 0.5) / SH_C0
+
+
+def sh_to_rgb(sh):
+    """Inverse of :func:`rgb_to_sh`."""
+    return sh * SH_C0 + 0.5
+
+
+def eval_sh(deg: int, sh, dirs):
+    """Evaluate real SH at unit directions.
+
+    Args:
+      deg: static int in [0, 3]; only the first ``(deg+1)**2`` coefficients are used.
+      sh: (..., K, C) coefficients with K >= (deg+1)**2 (channel-last layout).
+      dirs: (..., 3) unit directions.
+
+    Returns:
+      (..., C) the SH-weighted sum (no +0.5 offset, no clamping).
+    """
+    if not 0 <= deg <= 3:
+        raise ValueError(f"SH degree must be in [0,3], got {deg}")
+    result = SH_C0 * sh[..., 0, :]
+    if deg > 0:
+        x = dirs[..., 0:1]
+        y = dirs[..., 1:2]
+        z = dirs[..., 2:3]
+        result = (
+            result
+            - SH_C1 * y * sh[..., 1, :]
+            + SH_C1 * z * sh[..., 2, :]
+            - SH_C1 * x * sh[..., 3, :]
+        )
+        if deg > 1:
+            xx, yy, zz = x * x, y * y, z * z
+            xy, yz, xz = x * y, y * z, x * z
+            result = (
+                result
+                + SH_C2[0] * xy * sh[..., 4, :]
+                + SH_C2[1] * yz * sh[..., 5, :]
+                + SH_C2[2] * (2.0 * zz - xx - yy) * sh[..., 6, :]
+                + SH_C2[3] * xz * sh[..., 7, :]
+                + SH_C2[4] * (xx - yy) * sh[..., 8, :]
+            )
+            if deg > 2:
+                result = (
+                    result
+                    + SH_C3[0] * y * (3.0 * xx - yy) * sh[..., 9, :]
+                    + SH_C3[1] * xy * z * sh[..., 10, :]
+                    + SH_C3[2] * y * (4.0 * zz - xx - yy) * sh[..., 11, :]
+                    + SH_C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy) * sh[..., 12, :]
+                    + SH_C3[4] * x * (4.0 * zz - xx - yy) * sh[..., 13, :]
+                    + SH_C3[5] * z * (xx - yy) * sh[..., 14, :]
+                    + SH_C3[6] * x * (xx - 3.0 * yy) * sh[..., 15, :]
+                )
+    return result
+
+
+def sh_to_color(deg: int, sh, means3d, campos):
+    """SH -> clamped RGB as the rasterizer preprocess does.
+
+    dir = normalize(mean - campos); color = max(eval_sh + 0.5, 0).
+    Mirrors computeColorFromSH (reference forward.cu:20-71) including the
+    clamp whose mask gates the backward (handled automatically by autodiff
+    through ``maximum``).
+    """
+    dirs = means3d - campos
+    dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
+    rgb = eval_sh(deg, sh, dirs) + 0.5
+    return jnp.maximum(rgb, 0.0)

@@ -1,0 +1,165 @@
+"""Rotation / covariance primitives for Gaussian splats (pure jnp).
+
+TPU-native equivalents of the reference helpers:
+  * quat_to_rotmat     <- build_rotation (/root/reference/utils/general_utils.py:79-100)
+  * rodrigues          <- batch_rodrigues (/root/reference/scene/gaussian_model.py:1033-1064)
+  * build_covariance   <- build_covariance_from_scaling_rotation
+                          (/root/reference/scene/gaussian_model.py:37-44) incl. the
+                          deformation-transform fold-in used when
+                          compute_cov3D_python=True (the reference default)
+  * rotmat_to_quat     <- pytorch3d.transforms.matrix_to_quaternion
+                          (used by the densifier, gaussian_model.py:520)
+
+Everything is vectorized over the leading axis and jit/grad-safe.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def inverse_sigmoid(x):
+    return jnp.log(x / (1.0 - x))
+
+
+def quat_normalize(q, eps: float = 1e-12):
+    return q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + eps)
+
+
+def quat_to_rotmat(q, normalize: bool = True):
+    """Quaternion (w,x,y,z) -> rotation matrix, (..., 4) -> (..., 3, 3)."""
+    if normalize:
+        q = quat_normalize(q)
+    r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    R = jnp.stack(
+        [
+            1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y),
+            2 * (x * y + r * z), 1 - 2 * (x * x + z * z), 2 * (y * z - r * x),
+            2 * (x * z - r * y), 2 * (y * z + r * x), 1 - 2 * (x * x + y * y),
+        ],
+        axis=-1,
+    )
+    return R.reshape(*q.shape[:-1], 3, 3)
+
+
+def quat_multiply(a, b):
+    """Hamilton product of (w,x,y,z) quaternions, broadcasting over batch dims."""
+    aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return jnp.stack(
+        [
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+        ],
+        axis=-1,
+    )
+
+
+def rotmat_to_quat(R, eps: float = 1e-8):
+    """Rotation matrix -> quaternion (w,x,y,z), (..., 3, 3) -> (..., 4).
+
+    Branch-free Shepperd-style selection of the numerically largest of the four
+    candidate magnitudes, safe under jit (no data-dependent control flow).
+    """
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    tr = m00 + m11 + m22
+
+    # Four candidate quaternions, each stable in a different region.
+    qw = jnp.stack([1.0 + tr, m21 - m12, m02 - m20, m10 - m01], axis=-1)
+    qx = jnp.stack([m21 - m12, 1.0 + m00 - m11 - m22, m01 + m10, m02 + m20], axis=-1)
+    qy = jnp.stack([m02 - m20, m01 + m10, 1.0 - m00 + m11 - m22, m12 + m21], axis=-1)
+    qz = jnp.stack([m10 - m01, m02 + m20, m12 + m21, 1.0 - m00 - m11 + m22], axis=-1)
+
+    mags = jnp.stack(
+        [1.0 + tr, 1.0 + m00 - m11 - m22, 1.0 - m00 + m11 - m22, 1.0 - m00 - m11 + m22],
+        axis=-1,
+    )
+    best = jnp.argmax(mags, axis=-1)
+    cands = jnp.stack([qw, qx, qy, qz], axis=-2)  # (..., 4, 4)
+    q = jnp.take_along_axis(cands, best[..., None, None].repeat(4, axis=-1), axis=-2)
+    q = q[..., 0, :]
+    q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + eps)
+    # canonical sign: w >= 0
+    return q * jnp.where(q[..., :1] < 0, -1.0, 1.0)
+
+
+def rodrigues(rot_vecs, eps: float = 1e-8):
+    """Axis-angle (..., 3) -> rotation matrices (..., 3, 3).
+
+    Same guard as the reference (`angle = |v + 1e-8|`,
+    gaussian_model.py:1048) so tiny rotations are well-defined and smooth.
+    """
+    angle = jnp.linalg.norm(rot_vecs + eps, axis=-1, keepdims=True)
+    axis = rot_vecs / angle
+    cos = jnp.cos(angle)[..., None]
+    sin = jnp.sin(angle)[..., None]
+    rx, ry, rz = axis[..., 0], axis[..., 1], axis[..., 2]
+    zeros = jnp.zeros_like(rx)
+    K = jnp.stack(
+        [zeros, -rz, ry, rz, zeros, -rx, -ry, rx, zeros], axis=-1
+    ).reshape(*rot_vecs.shape[:-1], 3, 3)
+    eye = jnp.eye(3, dtype=rot_vecs.dtype)
+    return eye + sin * K + (1.0 - cos) * (K @ K)
+
+
+def rodrigues_guarded(rvec, eps: float = 1e-5):
+    """Axis-angle -> rotation matrix with the pose-MLP's smooth theta guard.
+
+    Mirrors RodriguesModule (/root/reference/nets/mlp_delta_body_pose.py:258-284):
+    theta = sqrt(eps + |v|^2), so the map is exactly C^inf at v = 0 — important
+    because the pose-correction MLP outputs near-zero vectors at init.
+    """
+    theta = jnp.sqrt(eps + jnp.sum(rvec**2, axis=-1))
+    v = rvec / theta[..., None]
+    c = jnp.cos(theta)
+    s = jnp.sin(theta)
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    R = jnp.stack(
+        [
+            x * x + (1 - x * x) * c, x * y * (1 - c) - z * s, x * z * (1 - c) + y * s,
+            x * y * (1 - c) + z * s, y * y + (1 - y * y) * c, y * z * (1 - c) - x * s,
+            x * z * (1 - c) - y * s, y * z * (1 - c) + x * s, z * z + (1 - z * z) * c,
+        ],
+        axis=-1,
+    )
+    return R.reshape(*rvec.shape[:-1], 3, 3)
+
+
+def build_covariance(scaling, rotation_q, transform=None, scaling_modifier: float = 1.0):
+    """World-space covariance Sigma = (T R S)(T R S)^T packed as 6 upper-tri floats.
+
+    scaling: (P, 3) positive scales (already exp-activated).
+    rotation_q: (P, 4) unnormalized quaternions.
+    transform: optional (P, 3, 3) per-Gaussian linear deformation (the LBS
+      rotation-scale folded into the covariance exactly as the reference does
+      when compute_cov3D_python=True: Sigma' = T Sigma T^T).
+
+    Returns (P, 6): [xx, xy, xz, yy, yz, zz].
+    """
+    R = quat_to_rotmat(rotation_q)
+    L = R * (scaling_modifier * scaling)[..., None, :]  # R @ diag(s)
+    cov = L @ jnp.swapaxes(L, -1, -2)
+    if transform is not None:
+        cov = transform @ cov @ jnp.swapaxes(transform, -1, -2)
+    return pack_cov3d(cov)
+
+
+def pack_cov3d(cov):
+    """(..., 3, 3) symmetric -> (..., 6) [xx, xy, xz, yy, yz, zz]."""
+    return jnp.stack(
+        [cov[..., 0, 0], cov[..., 0, 1], cov[..., 0, 2],
+         cov[..., 1, 1], cov[..., 1, 2], cov[..., 2, 2]],
+        axis=-1,
+    )
+
+
+def unpack_cov3d(packed):
+    """(..., 6) -> (..., 3, 3) symmetric."""
+    xx, xy, xz, yy, yz, zz = [packed[..., i] for i in range(6)]
+    row0 = jnp.stack([xx, xy, xz], axis=-1)
+    row1 = jnp.stack([xy, yy, yz], axis=-1)
+    row2 = jnp.stack([xz, yz, zz], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
