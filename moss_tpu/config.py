@@ -1,0 +1,97 @@
+"""Configuration dataclasses (no argparse reflection, no eval()).
+
+Replaces the reference's ParamGroup system (/root/reference/arguments/__init__.py)
+with plain dataclasses + per-dataset presets (SURVEY.md §5.6). Defaults mirror
+the values the reference actually trains with (train_ZJU.py:321 overrides,
+arguments/__init__.py:36-86).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    sh_degree: int = 3
+    smpl_type: str = "smpl"            # 'smpl' | 'smplx'
+    actor_gender: str = "neutral"
+    motion_offset: bool = True          # --motion_offset_flag
+    white_background: bool = False
+    # static Gaussian capacity; the reference caps densification at 45,695
+    # points (gaussian_model.py:496) — we round up to a lane-aligned 46,080
+    # and keep a validity mask (static shapes for XLA).
+    capacity: int = 46080
+    n_init_points: int = 6890
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    iterations: int = 3000
+    position_lr_init: float = 0.00016
+    position_lr_final: float = 0.0000016
+    position_lr_delay_mult: float = 0.01
+    position_lr_max_steps: int = 30_000
+    feature_lr: float = 0.0025
+    opacity_lr: float = 0.05
+    scaling_lr: float = 0.005
+    rotation_lr: float = 0.001
+    pose_refine_lr: float = 0.00025     # 'auto_regression' group
+    lbs_field_lr: float = 0.0001        # 'cross_attention_lbs' group
+    adam_eps: float = 1e-15             # AdamW eps (gaussian_model.py:226)
+    weight_decay: float = 0.01          # torch AdamW default
+
+    percent_dense: float = 0.01
+    densification_interval: int = 100
+    opacity_reset_interval: int = 4000
+    densify_from_iter: int = 400
+    densify_until_iter: int = 2000
+    densify_grad_threshold: float = 0.0002
+    min_opacity: float = 0.005
+    kl_threshold: float = 0.4
+    kl_merge_threshold: float = 0.1
+    max_screen_size: int = 20
+    smpl_dist_threshold: float = 0.05   # prune-by-SMPL-distance (squared dist)
+
+    # loss weights (train_ZJU.py:131)
+    w_l1: float = 1.0
+    w_mask: float = 0.5
+    w_ssim: float = 0.2
+    w_lpips: float = 0.5
+    w_nll: float = 0.06
+    w_s3im: float = 0.3
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    # our rasterizer always folds the deformation into a python-side covariance
+    # (the reference default compute_cov3D_python=True) and always evaluates SH
+    # on the XLA side before the blend kernel.
+    tile_h: int = 16
+    tile_w: int = 128                   # TPU lane-aligned tile
+    max_tiles_per_gaussian: int = 32
+    rasterizer: str = "pallas"          # 'pallas' | 'reference'
+    test_iterations: Tuple[int, ...] = (2500, 2700, 3000)
+    save_iterations: Tuple[int, ...] = (2500, 2700, 3000)
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = ModelConfig()
+    optim: OptimConfig = OptimConfig()
+    pipe: PipelineConfig = PipelineConfig()
+    seed: int = 3407                    # reference safe_state seed
+    source_path: str = ""
+    model_path: str = "output/default"
+    exp_name: str = "default"
+
+
+def zju_preset(subject: str = "377") -> Config:
+    return dataclasses.replace(
+        Config(),
+        exp_name=f"zju_mocap_refine/my_{subject}",
+    )
+
+
+def monocap_preset(seq: str = "olek_images0812") -> Config:
+    return dataclasses.replace(Config(), exp_name=f"monocap/{seq}")

@@ -1,0 +1,122 @@
+"""Full differentiable render: deform -> covariance fold-in -> SH -> rasterize.
+
+TPU-native equivalent of the reference renderer glue
+(/root/reference/gaussian_renderer/__init__.py:21-136). One pure function from
+(Gaussian params, MLP params, frame SMPL params, camera) to images + the
+training contract extras (transforms/translation for the MLP-free eval path,
+pose-correction output for the Fisher NLL, blend weights for densification) —
+the renderer's return is part of the training contract, not just an image
+(SURVEY.md §3.2).
+
+The deformation transform is always folded into the 3D covariance on the XLA
+side (the reference runs with compute_cov3D_python=True,
+arguments/__init__.py:60) and SH colors are always evaluated outside the blend
+kernel, so the rasterizer proper only ever sees (mean2d, conic, color,
+opacity, depth).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax.numpy as jnp
+import jax
+
+from ..models import gaussians as G
+from ..models import lbs_field, pose_refine
+from ..models.deform import apply_cached_transform, coarse_deform_c2source
+from ..models.smpl import SMPLModel
+from ..ops.projection import preprocess
+from ..ops.rasterize_ref import rasterize_reference
+from ..ops.sh import sh_to_color
+from .camera import Camera
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SceneContext:
+    """Per-sequence constants: body model + canonical big pose."""
+
+    smpl: SMPLModel
+    big_pose_params: Any      # dict: poses/shapes/R/Th
+    big_pose_vertices: Any    # (V, 3) big-pose world vertices
+
+
+def render_frame(
+    params: G.GaussianParams,
+    valid,
+    mlps: Optional[Dict],
+    scene: SceneContext,
+    smpl_params: Dict,
+    camera: Camera,
+    bg_color,
+    sh_degree: int,
+    rasterize_fn: Optional[Callable] = None,
+    mean2d_offset=None,
+    cached_transforms=None,
+    cached_translation=None,
+    motion_offset: bool = True,
+):
+    """Render one frame.
+
+    mlps: {"pose": pose_refine params, "lbs": lbs_field params} or None.
+    rasterize_fn(proj, bg, H, W) -> dict; defaults to the jnp oracle.
+    mean2d_offset: optional (P, 2) zeros added to mean2d so the train step can
+      read d(loss)/d(mean2d) for densification stats (the reference's
+      screenspace_points trick, gaussian_renderer/__init__.py:29-33).
+    cached_transforms/translation: the MLP-free eval path
+      (gaussian_renderer/__init__.py:73-77).
+    """
+    means_canonical = params.xyz
+    pose_out = None
+    bweights = None
+    transforms = cached_transforms
+    translation = cached_translation
+
+    if not motion_offset:
+        out = coarse_deform_c2source(
+            scene.smpl, means_canonical, smpl_params,
+            scene.big_pose_params, scene.big_pose_vertices,
+        )
+        means3d, transforms, translation = out.world_pts, out.transforms, out.translation
+        bweights = out.bweights
+    elif transforms is None:
+        pose_out = pose_refine.apply(mlps["pose"], smpl_params["poses"])
+        correct_Rs = pose_out["Rs"]  # (23, 3, 3)
+        lbs_delta = lbs_field.apply(mlps["lbs"], means_canonical, correct_Rs)
+        out = coarse_deform_c2source(
+            scene.smpl, means_canonical, smpl_params,
+            scene.big_pose_params, scene.big_pose_vertices,
+            lbs_weight_delta=lbs_delta, correct_Rs=correct_Rs,
+        )
+        means3d, transforms, translation = out.world_pts, out.transforms, out.translation
+        bweights = out.bweights
+    else:
+        means3d = apply_cached_transform(means_canonical, transforms, translation)
+
+    cov3d = G.get_covariance(params, transform=transforms)
+    color = sh_to_color(sh_degree, G.get_features(params), means3d, camera.cam_center)
+    opacity = G.get_opacity(params)
+
+    proj = preprocess(means3d, cov3d, color, opacity, camera, valid_mask=valid)
+    if mean2d_offset is not None:
+        proj = proj._replace(mean2d=proj.mean2d + mean2d_offset)
+
+    if rasterize_fn is None:
+        images = rasterize_reference(proj, bg_color, camera.height, camera.width)
+    else:
+        images = rasterize_fn(proj, bg_color, camera.height, camera.width)
+
+    return {
+        "render": images["color"],          # (H, W, 3)
+        "render_depth": images["depth"],
+        "render_alpha": images["alpha"],
+        "final_T": images.get("final_T"),
+        "radii": proj.radius,
+        "visibility_filter": proj.valid & (proj.radius > 0),
+        "transforms": transforms,
+        "translation": translation,
+        "pose_out": pose_out,
+        "lbs_weights": bweights,
+        "means3D": means3d,
+    }
