@@ -133,3 +133,64 @@ def bin_gaussians(
         tile_count=tile_end - tile_start,
         overflow=overflow,
     )
+
+
+class AlignedBinning(NamedTuple):
+    """Pair list re-laid-out so every tile's slice starts `align`-aligned.
+
+    The Pallas kernels DMA (16, chunk) column-blocks of the transposed pair
+    buffer at dynamic lane offsets; Mosaic requires 128-aligned lane slices,
+    and with align == chunk each tile's chunked range exactly covers its own
+    padded slice — backward chunk writes can never touch another tile's rows.
+
+    pair_gaussian: (NP2,) int32 (dead rows -> 0, excluded via pair_valid)
+    pair_valid: (NP2,) bool
+    tile_start: (num_tiles,) int32, each a multiple of 8
+    tile_count: (num_tiles,) int32 true (unpadded) counts
+    num_pairs: () int32 total live pairs (for stats/logging)
+    overflow: () int32 dropped tiles (per-Gaussian budget)
+    """
+
+    pair_gaussian: jnp.ndarray
+    pair_valid: jnp.ndarray
+    tile_start: jnp.ndarray
+    tile_count: jnp.ndarray
+    num_pairs: jnp.ndarray
+    overflow: jnp.ndarray
+
+
+def align_binning(
+    b: TileBinning, num_tiles: int, align: int = 128, guard: int = 0
+) -> AlignedBinning:
+    """Scatter the tile-sorted pair list into the `align`-aligned layout.
+
+    Output size is static: NPAIRS + align*num_tiles + guard.
+    """
+    NP = b.pair_gaussian.shape[0]
+    padded_counts = ((b.tile_count + align - 1) // align) * align
+    astart = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_counts).astype(jnp.int32)]
+    )  # (num_tiles+1,): astart[t] start, astart[-1] = start of dead tail
+    NP2 = NP + align * num_tiles + guard
+
+    # GATHER formulation (a scatter here serializes on TPU): for each aligned
+    # destination d, its source in the tile-sorted list is
+    #   tile_start[tile_of(d)] + (d - astart[tile_of(d)]).
+    d = jnp.arange(NP2, dtype=jnp.int32)
+    tile_of_d = (
+        jnp.searchsorted(astart[1:], d, side="right").astype(jnp.int32)
+    )  # in [0, num_tiles]; == num_tiles for the dead tail
+    t_clip = jnp.minimum(tile_of_d, num_tiles - 1)
+    off = d - astart[t_clip]
+    src = jnp.clip(b.tile_start[t_clip] + off, 0, NP - 1)
+    in_range = (tile_of_d < num_tiles) & (off < b.tile_count[t_clip])
+
+    pair_gaussian = jnp.where(in_range, b.pair_gaussian[src], 0)
+    return AlignedBinning(
+        pair_gaussian=pair_gaussian,
+        pair_valid=in_range,
+        tile_start=astart[:num_tiles],
+        tile_count=b.tile_count,
+        num_pairs=jnp.sum(b.pair_valid.astype(jnp.int32)),
+        overflow=b.overflow,
+    )

@@ -1,0 +1,138 @@
+"""LPIPS perceptual distance (VGG16 backbone) in pure JAX.
+
+Re-implementation of the pip `lpips` package the reference trains with
+(/root/reference/train_ZJU.py:27 `lpips.LPIPS(net='vgg')`, weight 0.5 in the
+loss at :131): five VGG16 feature stages (relu1_2, relu2_2, relu3_3, relu4_3,
+relu5_3), channel-unit-normalized, squared difference, learned 1x1 linear
+heads, spatial mean, summed over stages. Inputs are [0,1] images, shifted to
+[-1,1] and normalized with the lpips scaling constants.
+
+Pretrained VGG16 + lin weights cannot be downloaded in this environment
+(zero egress). Behavior:
+  * load_params(path) loads a converted .npz if the user provides one
+    (convert_torch_weights() documents the layout);
+  * init_random(key) builds a deterministically-seeded random backbone with
+    uniform lin heads. Random VGG features are a known usable perceptual
+    metric family, but the absolute values will NOT match the pretrained
+    LPIPS — metric-parity evaluation requires supplying real weights.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# VGG16 conv architecture: (out_channels, layers_in_block)
+_VGG_CFG = [(64, 2), (128, 2), (256, 3), (512, 3), (512, 3)]
+
+# lpips input scaling (lpips/lpips.py ScalingLayer constants)
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+
+def init_random(key) -> Dict:
+    """He-initialized random VGG backbone + uniform lin heads."""
+    params: Dict = {"convs": [], "lins": []}
+    in_ch = 3
+    for out_ch, n_layers in _VGG_CFG:
+        block = []
+        for _ in range(n_layers):
+            key, k1 = jax.random.split(key)
+            w = jax.random.normal(k1, (3, 3, in_ch, out_ch)) * np.sqrt(2.0 / (9 * in_ch))
+            block.append({"w": w, "b": jnp.zeros((out_ch,))})
+            in_ch = out_ch
+        params["convs"].append(block)
+        params["lins"].append(jnp.full((out_ch,), 1.0 / out_ch))
+    return params
+
+
+def load_params(path: str) -> Dict:
+    """Load a converted .npz: keys conv{i}_{j}_w/b (HWIO) and lin{i}."""
+    data = np.load(path)
+    params: Dict = {"convs": [], "lins": []}
+    for i, (out_ch, n_layers) in enumerate(_VGG_CFG):
+        block = []
+        for j in range(n_layers):
+            block.append(
+                {
+                    "w": jnp.asarray(data[f"conv{i}_{j}_w"]),
+                    "b": jnp.asarray(data[f"conv{i}_{j}_b"]),
+                }
+            )
+        params["convs"].append(block)
+        params["lins"].append(jnp.asarray(data[f"lin{i}"]))
+    return params
+
+
+def convert_torch_weights(out_path: str):  # pragma: no cover - needs torchvision
+    """Offline helper: convert torchvision VGG16 + lpips lin weights to .npz.
+
+    Torch conv weights (O, I, kh, kw) -> HWIO; lpips lin layers are 1x1 convs
+    whose (O=1, I=C, 1, 1) weights become the (C,) vectors lin{i}.
+    Run wherever torchvision + lpips are installed; copy the .npz here.
+    """
+    raise NotImplementedError(
+        "run on a machine with torchvision+lpips, see docstring"
+    )
+
+
+def _conv(p, x):
+    return (
+        jax.lax.conv_general_dilated(
+            x, p["w"], (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        + p["b"]
+    )
+
+
+def _features(params, x) -> List[jnp.ndarray]:
+    """x: (N, H, W, 3) in lpips-normalized space -> 5 stage features."""
+    feats = []
+    h = x
+    for bi, block in enumerate(params["convs"]):
+        for p in block:
+            h = jax.nn.relu(_conv(p, h))
+        feats.append(h)
+        if bi < len(params["convs"]) - 1:
+            h = jax.lax.reduce_window(
+                h, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+            )
+    return feats
+
+
+def lpips(params: Dict, img1, img2):
+    """Perceptual distance. Images (H, W, 3) in [0, 1]. Returns scalar."""
+    def norm_input(im):
+        x = im * 2.0 - 1.0
+        return (x - _SHIFT) / _SCALE
+
+    x1 = norm_input(img1)[None]
+    x2 = norm_input(img2)[None]
+    f1 = _features(params, x1)
+    f2 = _features(params, x2)
+    total = 0.0
+    for a, b, lin in zip(f1, f2, params["lins"]):
+        a = a / (jnp.linalg.norm(a, axis=-1, keepdims=True) + 1e-10)
+        b = b / (jnp.linalg.norm(b, axis=-1, keepdims=True) + 1e-10)
+        d = (a - b) ** 2
+        total = total + jnp.mean(jnp.sum(d * lin, axis=-1))
+    return total
+
+
+_DEFAULT_PARAMS = None
+
+
+def get_default_params() -> Dict:
+    """Pretrained weights if MOSS_LPIPS_WEIGHTS points at a .npz, else the
+    deterministic random backbone (documented fallback)."""
+    global _DEFAULT_PARAMS
+    if _DEFAULT_PARAMS is None:
+        path = os.environ.get("MOSS_LPIPS_WEIGHTS", "")
+        if path and os.path.exists(path):
+            _DEFAULT_PARAMS = load_params(path)
+        else:
+            _DEFAULT_PARAMS = init_random(jax.random.PRNGKey(3407))
+    return _DEFAULT_PARAMS

@@ -1,0 +1,88 @@
+"""SSIM / S3IM / PSNR in pure jnp (XLA convs on the MXU).
+
+Mirrors /root/reference/utils/loss_utils.py:17-87 and utils/image_utils.py:
+  * ssim: 11x11 gaussian window (sigma 1.5), per-channel depthwise conv,
+    SAME padding, C1=0.01^2, C2=0.03^2.
+  * s3im: the reference's S3IM as *actually executed* with batch size 1 —
+    torch.randperm(len(tar_vec)) permutes a length-1 batch axis
+    (loss_utils.py:30), so no stochastic shuffle ever happens and the op
+    reduces to SSIM over the image with every pixel repeated 10x along width
+    (the reshape at :35-36 interleaves the repeats per pixel). We reproduce
+    that deterministic behavior exactly rather than the paper's intent.
+  * psnr over [0,1] images.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+WINDOW_SIZE = 11
+SIGMA = 1.5
+C1 = 0.01**2
+C2 = 0.03**2
+
+
+def _gaussian_window():
+    xs = np.arange(WINDOW_SIZE) - WINDOW_SIZE // 2
+    g = np.exp(-(xs**2) / (2 * SIGMA**2))
+    g = g / g.sum()
+    w2d = np.outer(g, g).astype(np.float32)
+    return jnp.asarray(w2d)
+
+
+_WINDOW = _gaussian_window()
+
+
+def _filter(img):
+    """Depthwise 11x11 gaussian blur. img: (H, W, C) -> (H, W, C)."""
+    C = img.shape[-1]
+    w = jnp.broadcast_to(_WINDOW[:, :, None, None], (WINDOW_SIZE, WINDOW_SIZE, 1, C))
+    out = jax.lax.conv_general_dilated(
+        img[None],
+        w,
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=C,
+    )
+    return out[0]
+
+
+def ssim(img1, img2):
+    """Mean SSIM. Images (H, W, C) in [0, 1]."""
+    mu1 = _filter(img1)
+    mu2 = _filter(img2)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = _filter(img1 * img1) - mu1_sq
+    s2 = _filter(img2 * img2) - mu2_sq
+    s12 = _filter(img1 * img2) - mu1_mu2
+    ssim_map = ((2 * mu1_mu2 + C1) * (2 * s12 + C2)) / (
+        (mu1_sq + mu2_sq + C1) * (s1 + s2 + C2)
+    )
+    return jnp.mean(ssim_map)
+
+
+def s3im(img1, img2, repeat: int = 10):
+    """The reference's effective S3IM (see module docstring): SSIM over images
+    with each pixel repeated `repeat` times along width. Returns the *loss*
+    (1 - ssim), matching s3im_fun's return."""
+    a = jnp.repeat(img1, repeat, axis=1)
+    b = jnp.repeat(img2, repeat, axis=1)
+    return 1.0 - ssim(a, b)
+
+
+def psnr(img1, img2):
+    """PSNR per the reference image_utils.psnr (mean over pixels, 20log10(1/rmse))."""
+    mse = jnp.mean((img1 - img2) ** 2)
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(mse + 1e-12))
+
+
+def l1_loss(a, b):
+    return jnp.mean(jnp.abs(a - b))
+
+
+def l2_loss(a, b):
+    return jnp.mean((a - b) ** 2)

@@ -1,0 +1,312 @@
+"""Motion-aware densification under a static capacity (fully jit-compiled).
+
+TPU-native re-derivation of the MOSS densifier
+(/root/reference/scene/gaussian_model.py:495-666, SURVEY.md §2.3). The
+reference reallocates tensors and performs optimizer-state surgery per op; on
+TPU every op is a masked compute + scatter into the fixed-capacity arrays:
+
+  1. Fisher rotation/scale fields: SVD of the window-averaged joint Fisher
+     matrices with det-sign fix, splatted per-Gaussian through the blend
+     weights (:627-641). The root slot is an all-ones 3x3 / all-ones scale,
+     exactly as the reference writes it (torch.ones, :637,:640).
+  2. kl clone (:495-526): grad>=tau & small & KL(2NN)>0.4 & curvature mask;
+     child sampled from N(0, scl_joint*scale) rotated by rot_joint @ R,
+     scale *= scl_joint, quaternion = quat(rot_joint) * q  — the reference's
+     *elementwise* product, reproduced verbatim.
+  3. kl split (:528-571): grad>=tau & large & KL>0.4; classic 3DGS split into
+     2 children with scale/(0.8*2); parent pruned. (The reference pads
+     rot_joint/scl_joint here but never uses them — we follow the executed
+     behavior.)
+  4. kl merge (:573-619): KL(2NN)<0.1 pairs averaged; both sources pruned.
+  5. prune (:650-664): opacity<0.005 | radii2D>20 (when enabled) |
+     scale>0.1*extent | euclidean distance to the big-pose SMPL surface >5cm.
+  6. the reference's 45,695-point cap gates each op on the *current* count
+     (:496,:530,:574) — replicated sequentially.
+
+Optimizer moments ride along: appended slots get zeroed Adam state (the
+reference's cat_tensors_to_optimizer zeros, :422-423); surviving rows keep
+theirs in place (no permutation needed — slots are stable).
+
+Normals/curvature: the reference shells out to open3d + sklearn + a python
+pair loop (:669-756); here it is a vectorized 5-NN PCA normal + the same
+angle-change-rate statistic over the 10 neighbor pairs, computed in jnp.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import OptimConfig
+from ..models.gaussians import GaussianParams, GaussianState, get_scaling
+from ..ops.knn import knn
+from ..ops.transforms import quat_to_rotmat, rotmat_to_quat
+
+POINT_CAP = 45695  # gaussian_model.py:496
+
+
+def kl_div_gaussians(mu0, q0, s0, mu1, q1, s1):
+    """Closed-form KL between anisotropic Gaussians (gaussian_model.py:776-814).
+
+    mu (N,3), q (N,4) unnormalized quats, s (N,3) activated scales.
+    """
+    R0 = quat_to_rotmat(q0)
+    L0 = R0 * s0[..., None, :]
+    cov0 = L0 @ jnp.swapaxes(L0, -1, -2)
+    R1 = quat_to_rotmat(q1)
+    L1i = R1 * (1.0 / s1)[..., None, :]
+    cov1_inv = L1i @ jnp.swapaxes(L1i, -1, -2)
+    prod = cov1_inv @ cov0
+    tr = prod[..., 0, 0] + prod[..., 1, 1] + prod[..., 2, 2]
+    d = mu1 - mu0
+    maha = jnp.einsum("ni,nij,nj->n", d, cov1_inv, d)
+    logdet = jnp.log(jnp.prod((s1 / s0) ** 2, axis=-1) + 1e-20)
+    return 0.5 * (tr + maha + logdet - 3.0)
+
+
+def pca_normals(xyz, nbr_idx):
+    """Unit normals from the smallest principal axis of each 5-NN patch."""
+    nbrs = xyz[nbr_idx]  # (P, k, 3)
+    mean = nbrs.mean(axis=1, keepdims=True)
+    d = nbrs - mean
+    cov = jnp.einsum("pki,pkj->pij", d, d) / nbr_idx.shape[1]
+    # eigh ascending: eigenvector 0 = normal
+    _, vecs = jnp.linalg.eigh(cov + 1e-12 * jnp.eye(3))
+    return vecs[..., 0]
+
+
+def angle_change_mask(xyz, normals, nbr_idx, angle_threshold=0.1, dist_threshold=0.05):
+    """compute_angle_change_rate (gaussian_model.py:715-756), vectorized.
+
+    For each point's 5-neighborhood: pairwise normal angles vs distances
+    (pairs closer than dist_threshold dropped), sorted by distance, mean of
+    d(angle)/d(distance) compared against the threshold. Degenerate
+    neighborhoods (<2 usable pairs) yield False, matching the reference's
+    nan > t comparison.
+    """
+    k = nbr_idx.shape[1]
+    pairs = [(i, j) for i in range(k) for j in range(i + 1, k)]
+    ii = jnp.array([p[0] for p in pairs])
+    jj = jnp.array([p[1] for p in pairs])
+    npos = xyz[nbr_idx]        # (P, k, 3)
+    nnorm = normals[nbr_idx]   # (P, k, 3)
+    d = jnp.linalg.norm(npos[:, ii] - npos[:, jj], axis=-1)  # (P, 10)
+    cosang = jnp.sum(nnorm[:, ii] * nnorm[:, jj], axis=-1)
+    cosang = jnp.clip(
+        cosang
+        / (jnp.linalg.norm(nnorm[:, ii], axis=-1) * jnp.linalg.norm(nnorm[:, jj], axis=-1) + 1e-12),
+        -1.0, 1.0,
+    )
+    ang = jnp.arccos(cosang)
+    ok = d >= dist_threshold
+    d_sort = jnp.where(ok, d, jnp.inf)
+    order = jnp.argsort(d_sort, axis=1)
+    d_s = jnp.take_along_axis(d_sort, order, axis=1)
+    a_s = jnp.take_along_axis(ang, order, axis=1)
+    ok_s = jnp.take_along_axis(ok, order, axis=1)
+    both = ok_s[:, :-1] & ok_s[:, 1:]
+    dd = d_s[:, 1:] - d_s[:, :-1]
+    da = a_s[:, 1:] - a_s[:, :-1]
+    rate = jnp.where(both, da / jnp.where(jnp.abs(dd) > 1e-12, dd, 1e-12), 0.0)
+    cnt = jnp.sum(both, axis=1)
+    mean_rate = jnp.sum(rate, axis=1) / jnp.maximum(cnt, 1)
+    return (cnt > 0) & (mean_rate > angle_threshold)
+
+
+def _append_rows(params: GaussianParams, valid, adam_rows, cand: Dict, cand_mask):
+    """Scatter candidate rows (one per existing slot) into free slots.
+
+    adam_rows: list of (mu_leaf_dict, nu_leaf_dict)-like pytrees handled by
+    the caller; here we just return (params, valid, dest, ok) so the caller
+    can zero optimizer rows at dest.
+    """
+    P = valid.shape[0]
+    free_order = jnp.argsort(valid)  # stable: invalid slots first
+    rank = jnp.cumsum(cand_mask) - 1
+    n_free = P - jnp.sum(valid)
+    ok = cand_mask & (rank < n_free)
+    dest = jnp.where(ok, free_order[jnp.clip(rank, 0, P - 1)], P)  # P = drop row
+
+    def scatter(field, new_vals):
+        ext = jnp.concatenate([field, jnp.zeros_like(field[:1])], axis=0)
+        ext = ext.at[dest].set(new_vals)
+        return ext[:P]
+
+    new_params = GaussianParams(
+        xyz=scatter(params.xyz, cand["xyz"]),
+        f_dc=scatter(params.f_dc, cand["f_dc"]),
+        f_rest=scatter(params.f_rest, cand["f_rest"]),
+        scaling=scatter(params.scaling, cand["scaling"]),
+        rotation=scatter(params.rotation, cand["rotation"]),
+        opacity=scatter(params.opacity, cand["opacity"]),
+    )
+    valid_ext = jnp.concatenate([valid, jnp.zeros((1,), bool)])
+    new_valid = valid_ext.at[dest].set(True)[:P]
+    dropped = jnp.sum(cand_mask) - jnp.sum(ok)
+    return new_params, new_valid, dest, ok, dropped
+
+
+def _zero_opt_rows(opt_state, dest, capacity: int):
+    """Zero Adam moments at appended slots (any leaf with leading dim P)."""
+
+    def fix(leaf):
+        if hasattr(leaf, "shape") and leaf.ndim >= 1 and leaf.shape[0] == capacity:
+            ext = jnp.concatenate([leaf, jnp.zeros_like(leaf[:1])], axis=0)
+            ext = ext.at[dest].set(jnp.zeros_like(ext[dest]))
+            return ext[:capacity]
+        return leaf
+
+    return jax.tree.map(fix, opt_state)
+
+
+@partial(jax.jit, static_argnames=("cfg", "use_size_threshold"))
+def densify_and_prune(
+    params: GaussianParams,
+    gstate: GaussianState,
+    opt_state,
+    key,
+    cfg: OptimConfig,
+    extent,
+    t_vertices,
+    use_size_threshold: bool,
+):
+    """One densification round (gaussian_model.py densify_and_prune :621-666).
+
+    Returns (params, gstate, opt_state, stats).
+    """
+    P = params.capacity
+    valid = gstate.valid
+    denom0 = jnp.maximum(gstate.denom[0], 1.0)
+
+    grads = gstate.xyz_grad_accum / jnp.maximum(gstate.denom, 1e-8)
+    grads = jnp.where(jnp.isnan(grads) | ~valid, 0.0, grads)
+
+    # --- Fisher rotation / scale fields (:627-641) ---
+    joint_F = gstate.joint_F / denom0
+    lbs_avg = gstate.lbs_weight_sum / denom0  # (P, 24)
+    U, S, Vh = jnp.linalg.svd(joint_F)
+    V = jnp.swapaxes(Vh, -1, -2)
+    detU = jnp.sign(jnp.linalg.det(U))
+    detV = jnp.sign(jnp.linalg.det(V))
+    U = U.at[:, :, 2].multiply(detU[:, None])
+    V = V.at[:, :, 2].multiply(detV[:, None])
+    rot_joint23 = U @ jnp.swapaxes(V, -1, -2)  # (23, 3, 3)
+    rot24 = jnp.concatenate([jnp.ones((1, 3, 3)), rot_joint23], axis=0).reshape(24, 9)
+    rot_gauss = (lbs_avg @ rot24).reshape(P, 3, 3)
+    scl24 = jnp.concatenate([jnp.ones((1, 3)), S], axis=0)  # (24, 3)
+    scl_gauss = lbs_avg @ scl24  # (P, 3)
+
+    scaling = get_scaling(params)
+    max_scale = jnp.max(scaling, axis=-1)
+    grad_hit = grads >= cfg.densify_grad_threshold
+    small = max_scale <= cfg.percent_dense * extent
+    large = ~small
+
+    # --- KL against the nearest valid neighbour (:758-814) ---
+    far = jnp.where(valid[:, None], params.xyz, 1e6 + jnp.arange(P, dtype=jnp.float32)[:, None])
+    _, nn_ids = knn(far, far, k=2, ref_valid=valid)
+    nb = nn_ids[:, 1]
+    kl = kl_div_gaussians(
+        params.xyz, params.rotation, scaling,
+        params.xyz[nb], params.rotation[nb], scaling[nb],
+    )
+    kl_hi = kl > cfg.kl_threshold
+    kl_lo = kl < cfg.kl_merge_threshold
+
+    # --- curvature mask for clone (:503-509) ---
+    _, nbr5 = knn(far, far, k=5, ref_valid=valid)
+    normals = pca_normals(params.xyz, nbr5)
+    curv = angle_change_mask(params.xyz, normals, nbr5)
+
+    count0 = jnp.sum(valid)
+    stats = {"count_before": count0}
+
+    # ---------------- clone (:495-526) ----------------
+    enabled = count0 <= POINT_CAP
+    clone_mask = valid & grad_hit & small & kl_hi & curv & enabled
+    k1, k2, k3, key = jax.random.split(key, 4)
+    stds = scl_gauss * scaling
+    samples = jax.random.normal(k1, (P, 3)) * stds
+    rots = rot_gauss @ quat_to_rotmat(params.rotation)
+    new_xyz = jnp.einsum("nij,nj->ni", rots, samples) + params.xyz
+    cand = {
+        "xyz": new_xyz,
+        "f_dc": params.f_dc,
+        "f_rest": params.f_rest,
+        "scaling": jnp.log(jnp.maximum(scaling * scl_gauss, 1e-12)),
+        "rotation": rotmat_to_quat(rot_gauss) * params.rotation,  # elementwise, as reference
+        "opacity": params.opacity,
+    }
+    params, valid, dest, ok, drop1 = _append_rows(params, valid, None, cand, clone_mask)
+    opt_state = _zero_opt_rows(opt_state, dest, P)
+    stats["cloned"] = jnp.sum(ok)
+
+    # ---------------- split (:528-571) ----------------
+    count1 = jnp.sum(valid)
+    enabled = count1 <= POINT_CAP
+    split_mask = gstate.valid & grad_hit & large & kl_hi & enabled
+    R_old = quat_to_rotmat(params.rotation)
+    prune_split = jnp.zeros((P,), bool)
+    for kk in (k2, k3):
+        samples = jax.random.normal(kk, (P, 3)) * scaling
+        child_xyz = jnp.einsum("nij,nj->ni", R_old, samples) + params.xyz
+        cand = {
+            "xyz": child_xyz,
+            "f_dc": params.f_dc,
+            "f_rest": params.f_rest,
+            "scaling": jnp.log(jnp.maximum(scaling / (0.8 * 2), 1e-12)),
+            "rotation": params.rotation,
+            "opacity": params.opacity,
+        }
+        params, valid, dest, ok, _ = _append_rows(params, valid, None, cand, split_mask)
+        opt_state = _zero_opt_rows(opt_state, dest, P)
+    prune_split = split_mask
+    stats["split"] = jnp.sum(split_mask)
+
+    # ---------------- merge (:573-619) ----------------
+    count2 = jnp.sum(valid)
+    enabled = count2 <= POINT_CAP
+    merge_mask = gstate.valid & grad_hit & small & kl_lo & enabled
+    cand = {
+        "xyz": 0.5 * (params.xyz + params.xyz[nb]),
+        "f_dc": 0.5 * (params.f_dc + params.f_dc[nb]),
+        "f_rest": 0.5 * (params.f_rest + params.f_rest[nb]),
+        "scaling": jnp.log(jnp.maximum(scaling / 0.8, 1e-12)),
+        "rotation": params.rotation,
+        "opacity": 0.5 * (params.opacity + params.opacity[nb]),
+    }
+    params, valid, dest, ok_m, _ = _append_rows(params, valid, None, cand, merge_mask)
+    opt_state = _zero_opt_rows(opt_state, dest, P)
+    # both sources die (the ones whose merge actually landed)
+    prune_merge = jnp.zeros((P,), bool).at[jnp.where(ok_m, nb, P - 1)].set(ok_m[jnp.where(ok_m, nb, P - 1)] | False)
+    prune_merge = jnp.zeros((P + 1,), bool).at[jnp.where(ok_m, nb, P)].set(True)[:P]
+    prune_merge = prune_merge | ok_m
+    stats["merged"] = jnp.sum(ok_m)
+
+    # ---------------- prune (:650-664) ----------------
+    opacity = jax.nn.sigmoid(params.opacity[:, 0])
+    scaling_now = get_scaling(params)
+    prune = opacity < cfg.min_opacity
+    if use_size_threshold:
+        prune = prune | (gstate.max_radii2d > cfg.max_screen_size)
+        prune = prune | (jnp.max(scaling_now, axis=-1) > 0.1 * extent)
+    d2, _ = knn(params.xyz, t_vertices, k=1)
+    prune = prune | (jnp.sqrt(d2[:, 0]) > cfg.smpl_dist_threshold)
+    prune = prune | prune_split | prune_merge
+    valid = valid & ~prune
+
+    stats["count_after"] = jnp.sum(valid)
+    stats["dropped_capacity"] = drop1
+
+    new_gstate = GaussianState(
+        valid=valid,
+        max_radii2d=jnp.zeros((P,), jnp.float32),
+        xyz_grad_accum=jnp.zeros((P,), jnp.float32),
+        denom=jnp.zeros((P,), jnp.float32),
+        joint_F=jnp.zeros((23, 3, 3), jnp.float32),
+        lbs_weight_sum=jnp.zeros((P, 24), jnp.float32),
+    )
+    return params, new_gstate, opt_state, stats

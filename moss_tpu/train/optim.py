@@ -1,0 +1,91 @@
+"""Optimizer: per-group AdamW with the reference's learning rates.
+
+Mirrors GaussianModel.training_setup (/root/reference/scene/gaussian_model.py:
+200-230): torch.optim.AdamW(eps=1e-15, default weight_decay 0.01) with one LR
+per parameter group and an exponential-decay schedule on xyz
+(utils/general_utils.py get_expon_lr_func). Built as optax.multi_transform
+over leaf labels, so the per-group Adam moments live in one pytree that the
+densifier can permute alongside the parameters (train/densify.py).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import OptimConfig
+from ..models.gaussians import GaussianParams
+
+
+def expon_lr(
+    step,
+    lr_init: float,
+    lr_final: float,
+    lr_delay_steps: int = 0,
+    lr_delay_mult: float = 1.0,
+    max_steps: int = 1_000_000,
+):
+    """Log-linear interpolated LR (general_utils.py:30-63)."""
+    step = jnp.asarray(step, jnp.float32)
+    if lr_delay_steps > 0:
+        delay = lr_delay_mult + (1 - lr_delay_mult) * jnp.sin(
+            0.5 * jnp.pi * jnp.clip(step / lr_delay_steps, 0, 1)
+        )
+    else:
+        delay = 1.0
+    t = jnp.clip(step / max_steps, 0, 1)
+    log_lerp = jnp.exp(jnp.log(lr_init) * (1 - t) + jnp.log(lr_final) * t)
+    return delay * log_lerp
+
+
+def _labels(params: Dict) -> Dict:
+    """Leaf labels: gaussian field names + MLP group names."""
+    g = params["gauss"]
+    gauss_labels = GaussianParams(
+        xyz="xyz", f_dc="f_dc", f_rest="f_rest",
+        scaling="scaling", rotation="rotation", opacity="opacity",
+    )
+    labels = {"gauss": gauss_labels}
+    if "mlps" in params and params["mlps"] is not None:
+        labels["mlps"] = {
+            "pose": jax.tree.map(lambda _: "pose", params["mlps"]["pose"]),
+            "lbs": jax.tree.map(lambda _: "lbs", params["mlps"]["lbs"]),
+        }
+    return labels
+
+
+def make_optimizer(cfg: OptimConfig, spatial_lr_scale: float = 1.0):
+    """Returns (optax.GradientTransformation, labels_fn).
+
+    The xyz group follows the exponential schedule; all others are constant.
+    """
+
+    def adamw(lr):
+        return optax.adamw(
+            learning_rate=lr,
+            b1=0.9, b2=0.999,
+            eps=cfg.adam_eps,
+            weight_decay=cfg.weight_decay,
+        )
+
+    xyz_sched = lambda step: expon_lr(
+        step,
+        cfg.position_lr_init * spatial_lr_scale,
+        cfg.position_lr_final * spatial_lr_scale,
+        lr_delay_mult=cfg.position_lr_delay_mult,
+        max_steps=cfg.position_lr_max_steps,
+    )
+
+    transforms = {
+        "xyz": adamw(xyz_sched),
+        "f_dc": adamw(cfg.feature_lr),
+        "f_rest": adamw(cfg.feature_lr / 20.0),
+        "opacity": adamw(cfg.opacity_lr),
+        "scaling": adamw(cfg.scaling_lr),
+        "rotation": adamw(cfg.rotation_lr),
+        "pose": adamw(cfg.pose_refine_lr),
+        "lbs": adamw(cfg.lbs_field_lr),
+    }
+    return optax.multi_transform(transforms, _labels)

@@ -1,0 +1,118 @@
+"""The jitted training step: render -> loss -> grads -> AdamW -> densify stats.
+
+One pure function replaces the reference's per-iteration body
+(/root/reference/train_ZJU.py:81-195): everything (forward, all six losses,
+backward through the Pallas rasterizer and the deform/MLP chain, the optimizer
+update, and the densification statistics) is a single XLA program compiled
+once per active SH degree. The screen-space gradient statistic uses the same
+units as the reference (pixel-gradient x [W/2, H/2], matching the CUDA
+backward's ddelx_dx = 0.5*W at backward.cu:477) so the 0.0002 densify
+threshold transfers unchanged.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+from ..data.frames import Frame
+from ..models import gaussians as G
+from ..render.render import SceneContext, render_frame
+from .losses import LossWeights, compute_losses
+from .optim import make_optimizer
+
+
+class TrainState(NamedTuple):
+    params: Dict            # {"gauss": GaussianParams, "mlps": {...}}
+    opt_state: Any
+    gstate: G.GaussianState
+    step: Any               # () int32
+
+
+def make_train_step(
+    scene: SceneContext,
+    cfg: Config,
+    rasterize_fn: Optional[Callable],
+    lpips_params,
+    crop_h: int,
+    crop_w: int,
+):
+    """Build (init_fn, step_fn). step_fn is jitted with sh_degree static."""
+    optimizer = make_optimizer(cfg.optim)
+    weights = LossWeights(
+        l1=cfg.optim.w_l1, mask=cfg.optim.w_mask, ssim=cfg.optim.w_ssim,
+        lpips=cfg.optim.w_lpips, nll=cfg.optim.w_nll, s3im=cfg.optim.w_s3im,
+    )
+    bg = jnp.ones(3) if cfg.model.white_background else jnp.zeros(3)
+
+    def init_fn(params):
+        return optimizer.init(params)
+
+    @functools.partial(jax.jit, static_argnames=("sh_degree",))
+    def step_fn(ts: TrainState, frame: Frame, sh_degree: int):
+        P = ts.params["gauss"].capacity
+        cam = frame.camera
+
+        def loss_fn(params, mean2d_offset):
+            out = render_frame(
+                params["gauss"], ts.gstate.valid, params.get("mlps"), scene,
+                frame.smpl_params, cam, bg, sh_degree,
+                rasterize_fn=rasterize_fn, mean2d_offset=mean2d_offset,
+                motion_offset=cfg.model.motion_offset,
+            )
+            total, logs = compute_losses(
+                out, frame.image, frame.bkgd_mask, frame.bound_mask,
+                frame.pose_rotmats, frame.crop_y0, frame.crop_x0,
+                crop_h, crop_w, lpips_params=lpips_params, weights=weights,
+            )
+            return total, (out, logs)
+
+        dummy = jnp.zeros((P, 2), jnp.float32)
+        (loss, (out, logs)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(ts.params, dummy)
+
+        updates, opt_state = optimizer.update(grads[0], ts.opt_state, ts.params)
+        params = optax.apply_updates(ts.params, updates)
+
+        # ---- densification statistics (train_ZJU.py:171-174, gaussian_model
+        # add_densification_stats :816-818) ----
+        gs = ts.gstate
+        vis = out["visibility_filter"]
+        ndc_scale = jnp.array([cam.width * 0.5, cam.height * 0.5], jnp.float32)
+        gnorm = jnp.linalg.norm(grads[1] * ndc_scale[None, :], axis=-1)
+        gstate = dataclasses.replace(
+            gs,
+            xyz_grad_accum=gs.xyz_grad_accum + jnp.where(vis, gnorm, 0.0),
+            denom=gs.denom + vis.astype(jnp.float32),
+            max_radii2d=jnp.where(
+                vis,
+                jnp.maximum(gs.max_radii2d, out["radii"].astype(jnp.float32)),
+                gs.max_radii2d,
+            ),
+            joint_F=(
+                gs.joint_F + out["pose_out"]["Rs"]
+                if out["pose_out"] is not None else gs.joint_F
+            ),
+            lbs_weight_sum=(
+                gs.lbs_weight_sum + out["lbs_weights"]
+                if out["lbs_weights"] is not None else gs.lbs_weight_sum
+            ),
+        )
+
+        logs = dict(logs)
+        logs["psnr_proxy"] = -10.0 * jnp.log10(logs["l1"] ** 2 + 1e-12)
+        logs["num_points"] = gstate.num_valid
+        return TrainState(params, opt_state, gstate, ts.step + 1), logs
+
+    return init_fn, step_fn
+
+
+def active_sh_degree(step: int, max_degree: int) -> int:
+    """SH degree grows every 1000 iterations (train_ZJU.py:85-86)."""
+    return min(step // 1000, max_degree)
