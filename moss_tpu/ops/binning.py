@@ -153,6 +153,7 @@ class AlignedBinning(NamedTuple):
 
     pair_gaussian: jnp.ndarray
     pair_valid: jnp.ndarray
+    pair_tile: jnp.ndarray
     tile_start: jnp.ndarray
     tile_count: jnp.ndarray
     num_pairs: jnp.ndarray
@@ -173,22 +174,26 @@ def align_binning(
     )  # (num_tiles+1,): astart[t] start, astart[-1] = start of dead tail
     NP2 = NP + align * num_tiles + guard
 
-    # GATHER formulation (a scatter here serializes on TPU): for each aligned
-    # destination d, its source in the tile-sorted list is
+    # GATHER formulation (a scatter over NPAIRS serializes on TPU): for each
+    # aligned destination d, its source in the tile-sorted list is
     #   tile_start[tile_of(d)] + (d - astart[tile_of(d)]).
+    # tile_of(d) via a tiny (num_tiles-element) scatter + cummax instead of a
+    # searchsorted over NP2 elements (which lowers to log-depth mega-gathers).
     d = jnp.arange(NP2, dtype=jnp.int32)
-    tile_of_d = (
-        jnp.searchsorted(astart[1:], d, side="right").astype(jnp.int32)
-    )  # in [0, num_tiles]; == num_tiles for the dead tail
-    t_clip = jnp.minimum(tile_of_d, num_tiles - 1)
-    off = d - astart[t_clip]
-    src = jnp.clip(b.tile_start[t_clip] + off, 0, NP - 1)
-    in_range = (tile_of_d < num_tiles) & (off < b.tile_count[t_clip])
+    marker = jnp.zeros((NP2,), jnp.int32).at[astart[:num_tiles]].max(
+        jnp.arange(num_tiles, dtype=jnp.int32)
+    )
+    tile_of_d = jax.lax.cummax(marker)
+    in_tail = d >= astart[num_tiles]
+    off = d - astart[tile_of_d]
+    src = jnp.clip(b.tile_start[tile_of_d] + off, 0, NP - 1)
+    in_range = (~in_tail) & (off < b.tile_count[tile_of_d])
 
     pair_gaussian = jnp.where(in_range, b.pair_gaussian[src], 0)
     return AlignedBinning(
         pair_gaussian=pair_gaussian,
         pair_valid=in_range,
+        pair_tile=tile_of_d,
         tile_start=astart[:num_tiles],
         tile_count=b.tile_count,
         num_pairs=jnp.sum(b.pair_valid.astype(jnp.int32)),

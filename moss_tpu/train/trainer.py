@@ -1,0 +1,177 @@
+"""Host-side training orchestration.
+
+The TPU-native counterpart of training() (/root/reference/train_ZJU.py:29-200):
+a thin host loop around three jitted programs — the train step
+(train/train_step.py), the densifier (train/densify.py), and the evaluator —
+with frame shuffling, SH-degree warmup, periodic opacity reset, metric logging
+and checkpointing. Everything data-dependent lives on device; the host only
+sequences compiled programs.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.frames import Frame
+from ..models import gaussians as G
+from ..models import lbs_field, pose_refine
+from ..ops import lpips_jax
+from ..ops.rasterize_tpu import rasterize_tpu
+from ..ops.ssim import psnr as psnr_fn
+from ..ops.ssim import ssim as ssim_fn
+from ..render.render import SceneContext, render_frame
+from . import checkpoint as ckpt
+from .densify import densify_and_prune
+from .train_step import TrainState, active_sh_degree, make_train_step
+
+
+def init_gaussians_and_mlps(scene: SceneContext, cfg: Config, key, init_colors=None):
+    verts = np.asarray(scene.big_pose_vertices)
+    if init_colors is None:
+        # reference seeds with random colors (dataset_readers.py:717-729)
+        rng = np.random.default_rng(cfg.seed)
+        init_colors = rng.random((verts.shape[0], 3)).astype(np.float32)
+    params, gstate = G.create_from_points(
+        verts, init_colors, capacity=cfg.model.capacity, sh_degree=cfg.model.sh_degree
+    )
+    k1, k2 = jax.random.split(key)
+    mlps = None
+    if cfg.model.motion_offset:
+        mlps = {"pose": pose_refine.init(k1), "lbs": lbs_field.init(k2)}
+    return params, gstate, mlps
+
+
+class Trainer:
+    def __init__(
+        self,
+        scene: SceneContext,
+        train_frames: List[Frame],
+        test_frames: List[Frame],
+        cfg: Config,
+        rasterize_fn: Optional[Callable] = None,
+        crop_hw=None,
+        extent: float = 1.0,  # monocular radius forced to 1 (dataset_readers.py:714)
+        log_fn: Optional[Callable[[int, Dict], None]] = None,
+    ):
+        self.scene = scene
+        self.cfg = cfg
+        self.train_frames = train_frames
+        self.test_frames = test_frames
+        self.extent = extent
+        self.log_fn = log_fn
+        self.rasterize_fn = rasterize_fn if rasterize_fn is not None else (
+            rasterize_tpu if cfg.pipe.rasterizer == "pallas" else None
+        )
+        H = train_frames[0].camera.height
+        W = train_frames[0].camera.width
+        if crop_hw is None:
+            crop_hw = (min(H, 256), min(W, 256))
+        self.crop_hw = crop_hw
+        self.lpips_params = lpips_jax.get_default_params()
+
+        key = jax.random.PRNGKey(cfg.seed)
+        self.key, k_init = jax.random.split(key)
+        params, gstate, mlps = init_gaussians_and_mlps(scene, cfg, k_init)
+        p = {"gauss": params}
+        if mlps is not None:
+            p["mlps"] = mlps
+        init_fn, self.step_fn = make_train_step(
+            scene, cfg, self.rasterize_fn, self.lpips_params, *crop_hw
+        )
+        self.ts = TrainState(p, init_fn(p), gstate, jnp.asarray(0, jnp.int32))
+        self.metrics_history: List[Dict] = []
+
+    # ------------------------------------------------------------------
+    def train(self, iterations: Optional[int] = None, eval_iters=None):
+        cfg = self.cfg
+        iters = iterations or cfg.optim.iterations
+        eval_iters = set(eval_iters or cfg.pipe.test_iterations)
+        rng = np.random.default_rng(cfg.seed)
+        stack: List[int] = []
+        t0 = time.time()
+        for it in range(1, iters + 1):
+            if not stack:
+                stack = list(rng.permutation(len(self.train_frames)))
+            frame = self.train_frames[stack.pop()]
+            deg = active_sh_degree(it, cfg.model.sh_degree)
+            self.ts, logs = self.step_fn(self.ts, frame, deg)
+
+            if (
+                it < cfg.optim.densify_until_iter
+                and it > cfg.optim.densify_from_iter
+                and it % cfg.optim.densification_interval == 0
+            ):
+                self.densify(it)
+            if it % cfg.optim.opacity_reset_interval == 0 or (
+                cfg.model.white_background and it == cfg.optim.densify_from_iter
+            ):
+                self.reset_opacity()
+
+            if self.log_fn is not None and it % 10 == 0:
+                self.log_fn(it, jax.device_get(logs))
+            if it in eval_iters:
+                m = self.evaluate()
+                m["iteration"] = it
+                m["elapsed_s"] = time.time() - t0
+                self.metrics_history.append(m)
+        return self.metrics_history
+
+    # ------------------------------------------------------------------
+    def densify(self, it: int):
+        cfg = self.cfg
+        self.key, k = jax.random.split(self.key)
+        use_size = it > cfg.optim.opacity_reset_interval
+        params, gstate, opt_state, stats = densify_and_prune(
+            self.ts.params["gauss"], self.ts.gstate, self.ts.opt_state, k,
+            cfg.optim, self.extent, self.scene.big_pose_vertices, use_size,
+        )
+        new_params = dict(self.ts.params)
+        new_params["gauss"] = params
+        self.ts = TrainState(new_params, opt_state, gstate, self.ts.step)
+        return stats
+
+    def reset_opacity(self):
+        new_params = dict(self.ts.params)
+        new_params["gauss"] = G.reset_opacity(self.ts.params["gauss"])
+        self.ts = TrainState(new_params, self.ts.opt_state, self.ts.gstate, self.ts.step)
+
+    # ------------------------------------------------------------------
+    def render_eval(self, frame: Frame, sh_degree=None):
+        deg = sh_degree if sh_degree is not None else self.cfg.model.sh_degree
+        bg = jnp.ones(3) if self.cfg.model.white_background else jnp.zeros(3)
+        return render_frame(
+            self.ts.params["gauss"], self.ts.gstate.valid,
+            self.ts.params.get("mlps"), self.scene, frame.smpl_params,
+            frame.camera, bg, deg, rasterize_fn=self.rasterize_fn,
+            motion_offset=self.cfg.model.motion_offset,
+        )
+
+    def evaluate(self, frames=None) -> Dict:
+        frames = frames if frames is not None else self.test_frames
+        deg = active_sh_degree(int(self.ts.step), self.cfg.model.sh_degree)
+        vals = {"psnr": 0.0, "ssim": 0.0, "lpips": 0.0}
+        for frame in frames:
+            out = self.render_eval(frame, deg)
+            img = jnp.clip(out["render"], 0.0, 1.0)
+            gt = jnp.clip(frame.image, 0.0, 1.0)
+            vals["psnr"] += float(psnr_fn(img, gt))
+            vals["ssim"] += float(ssim_fn(img, gt))
+            vals["lpips"] += float(
+                lpips_jax.lpips(self.lpips_params, img, gt)
+            )
+        n = max(len(frames), 1)
+        return {k: v / n for k, v in vals.items()}
+
+    # ------------------------------------------------------------------
+    def save(self, path: str):
+        ckpt.save_checkpoint(path, self.ts)
+
+    def load(self, path: str):
+        self.ts = ckpt.restore_checkpoint(path, self.ts)

@@ -18,7 +18,7 @@ import pytest
 from moss_tpu.ops import transforms as tf
 from moss_tpu.ops.projection import preprocess
 from moss_tpu.ops.rasterize_ref import rasterize_reference
-from moss_tpu.ops.rasterize_tpu import TILE, rasterize_tpu
+from moss_tpu.ops.rasterize_tpu import TILE_H, TILE_W, rasterize_tpu
 from moss_tpu.render.camera import Camera
 
 
@@ -65,7 +65,7 @@ class TestForwardParity:
         cam = make_camera(H, W)
         proj = project_scene(rng, cam, n=60)
         bg = jnp.array([0.9, 0.4, 0.1])
-        ref = rasterize_reference(proj, bg, H, W, tile_h=TILE, tile_w=TILE)
+        ref = rasterize_reference(proj, bg, H, W, tile_h=TILE_H, tile_w=TILE_W)
         out = rasterize_tpu(proj, bg, H, W)
         assert int(out["overflow"]) == 0
         assert_images_match(out["color"], ref["color"])
@@ -84,7 +84,7 @@ class TestForwardParity:
             jnp.asarray(means), cov3d, jnp.asarray(colors), jnp.asarray(opacity), cam
         )
         bg = jnp.zeros(3)
-        ref = rasterize_reference(proj, bg, H, W, tile_h=TILE, tile_w=TILE)
+        ref = rasterize_reference(proj, bg, H, W, tile_h=TILE_H, tile_w=TILE_W)
         out = rasterize_tpu(proj, bg, H, W)
         assert float(jnp.min(ref["final_T"])) < 1e-3  # termination exercised
         assert_images_match(out["color"], ref["color"], outlier_frac=5e-3)
@@ -94,7 +94,7 @@ class TestForwardParity:
         cam = make_camera(H, W)
         proj = project_scene(rng, cam, n=40)
         bg = jnp.array([0.2, 0.2, 0.2])
-        ref = rasterize_reference(proj, bg, H, W, tile_h=TILE, tile_w=TILE)
+        ref = rasterize_reference(proj, bg, H, W, tile_h=TILE_H, tile_w=TILE_W)
         out = rasterize_tpu(proj, bg, H, W)
         assert out["color"].shape == (H, W, 3)
         assert_images_match(out["color"], ref["color"])
@@ -127,7 +127,7 @@ class TestBackwardParity:
             cov3d = tf.build_covariance(jnp.exp(log_scales), quats)
             proj = preprocess(means, cov3d, colors, jax.nn.sigmoid(raw_op), cam)
             if raster == "ref":
-                out = rasterize_reference(proj, bg, H, W, tile_h=TILE, tile_w=TILE)
+                out = rasterize_reference(proj, bg, H, W, tile_h=TILE_H, tile_w=TILE_W)
             else:
                 out = rasterize_tpu(proj, bg, H, W)
             return (
