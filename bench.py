@@ -1,0 +1,128 @@
+"""Benchmark: rays(pixels)/s/chip, forward+backward, 512x512, 46k Gaussians.
+
+The north-star metric (BASELINE.json): full differentiable rasterization
+(binning + Pallas tile kernel + custom-VJP backward + per-Gaussian gradient
+reduction) at the reference workload shape — 512x512 pixels, 46,080 splats
+(the reference's own densification cap, gaussian_model.py:496).
+
+vs_baseline = speedup over the pure-XLA (jnp oracle) rasterizer on the SAME
+chip and workload — the reference repo publishes no throughput numbers
+(BASELINE.md), so the XLA-native formulation is the measurable baseline the
+Pallas kernel has to beat.
+
+Timing is robust to host<->device link latency: executions are queued in
+batches of N and 2N with a single device fetch each; dt = (T2 - T1) / N
+cancels fetch/dispatch overhead exactly.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _queued_time(fn, *args, n: int = 10):
+    """Amortized per-iteration device time via the difference method."""
+    import jax
+
+    v = fn(*args)
+    _ = float(v)  # warm compile + sync
+    t0 = time.time()
+    for _ in range(n):
+        v = fn(*args)
+    _ = float(v)
+    t1 = time.time()
+    for _ in range(2 * n):
+        v = fn(*args)
+    _ = float(v)
+    t2 = time.time()
+    return max((t2 - t1) - (t1 - t0), 1e-9) / n
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from moss_tpu.ops import transforms as tf
+    from moss_tpu.ops.projection import preprocess
+    from moss_tpu.ops import rasterize_tpu as rt
+    from moss_tpu.ops.rasterize_ref import rasterize_reference
+    from moss_tpu.render.camera import Camera
+
+    if jax.devices()[0].platform == "cpu":
+        rt.INTERPRET = True
+
+    H = W = 512
+    P = 46080
+    rng = np.random.default_rng(0)
+    K = np.array([[550.0, 0, W / 2], [0, 550.0, H / 2], [0, 0, 1.0]])
+    cam = Camera.from_KRT(K, np.eye(3), np.zeros(3), H, W)
+    means = np.stack(
+        [rng.uniform(-0.4, 0.4, P), rng.uniform(-0.7, 0.7, P), rng.uniform(1.5, 2.5, P)],
+        -1,
+    ).astype(np.float32)
+    cov3d = tf.build_covariance(
+        jnp.asarray(rng.uniform(0.004, 0.012, (P, 3)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(P, 4)).astype(np.float32)),
+    )
+    proj = preprocess(
+        jnp.asarray(means), cov3d,
+        jnp.asarray(rng.uniform(size=(P, 3)).astype(np.float32)),
+        jnp.asarray(rng.uniform(0.3, 0.95, P).astype(np.float32)),
+        cam,
+    )
+    bg = jnp.zeros(3)
+
+    def loss_with(raster_fn, fields, pr):
+        o = raster_fn(
+            pr._replace(
+                mean2d=fields[0], conic=fields[1], color=fields[2],
+                opacity=fields[3], depth=fields[4],
+            ),
+            bg, H, W,
+        )
+        return jnp.sum(o["color"]) + jnp.sum(o["alpha"]) + 0.01 * jnp.sum(o["depth"])
+
+    args = (proj.mean2d, proj.conic, proj.color, proj.opacity, proj.depth)
+
+    def gradsum(raster_fn):
+        g = jax.grad(lambda a, p: loss_with(raster_fn, a, p))
+        return jax.jit(
+            lambda a, p: jax.tree_util.tree_reduce(
+                lambda x, y: x + jnp.sum(jnp.abs(y)), g(a, p), 0.0
+            )
+        )
+
+    # Pallas fwd+bwd
+    f_pallas = gradsum(rt.rasterize_tpu)
+    dt_pallas = _queued_time(f_pallas, args, proj, n=10)
+    rays_pallas = H * W / dt_pallas
+
+    # XLA-oracle fwd+bwd baseline (rematerialized scan to bound memory)
+    def oracle(pr_proj, bgc, h, w):
+        return rasterize_reference(pr_proj, bgc, h, w, tile_h=rt.TILE_H,
+                                   tile_w=rt.TILE_W, chunk=128, remat=True)
+
+    try:
+        f_oracle = gradsum(oracle)
+        dt_oracle = _queued_time(f_oracle, args, proj, n=2)
+        rays_oracle = H * W / dt_oracle
+        vs_baseline = rays_pallas / rays_oracle
+    except Exception as e:  # oracle may OOM at full scale on small chips
+        print(f"# oracle baseline failed: {e}", file=sys.stderr)
+        vs_baseline = float("nan")
+
+    print(json.dumps({
+        "metric": "rays_per_s_per_chip_fwd_bwd_512x512_46k",
+        "value": round(rays_pallas, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline == vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

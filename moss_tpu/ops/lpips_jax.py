@@ -33,19 +33,24 @@ _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 
-def init_random(key) -> Dict:
-    """He-initialized random VGG backbone + uniform lin heads."""
+def init_random(seed: int = 3407) -> Dict:
+    """He-initialized random VGG backbone + uniform lin heads.
+
+    Plain numpy leaves: the default params are cached globally, and jnp arrays
+    created lazily inside a jit/shard_map trace would leak that trace's mesh
+    context. Numpy constants embed cleanly into any trace.
+    """
+    rng = np.random.default_rng(seed)
     params: Dict = {"convs": [], "lins": []}
     in_ch = 3
     for out_ch, n_layers in _VGG_CFG:
         block = []
         for _ in range(n_layers):
-            key, k1 = jax.random.split(key)
-            w = jax.random.normal(k1, (3, 3, in_ch, out_ch)) * np.sqrt(2.0 / (9 * in_ch))
-            block.append({"w": w, "b": jnp.zeros((out_ch,))})
+            w = rng.normal(0.0, np.sqrt(2.0 / (9 * in_ch)), (3, 3, in_ch, out_ch))
+            block.append({"w": w.astype(np.float32), "b": np.zeros(out_ch, np.float32)})
             in_ch = out_ch
         params["convs"].append(block)
-        params["lins"].append(jnp.full((out_ch,), 1.0 / out_ch))
+        params["lins"].append(np.full((out_ch,), 1.0 / out_ch, np.float32))
     return params
 
 
@@ -58,12 +63,12 @@ def load_params(path: str) -> Dict:
         for j in range(n_layers):
             block.append(
                 {
-                    "w": jnp.asarray(data[f"conv{i}_{j}_w"]),
-                    "b": jnp.asarray(data[f"conv{i}_{j}_b"]),
+                    "w": np.asarray(data[f"conv{i}_{j}_w"], np.float32),
+                    "b": np.asarray(data[f"conv{i}_{j}_b"], np.float32),
                 }
             )
         params["convs"].append(block)
-        params["lins"].append(jnp.asarray(data[f"lin{i}"]))
+        params["lins"].append(np.asarray(data[f"lin{i}"], np.float32))
     return params
 
 
@@ -134,5 +139,5 @@ def get_default_params() -> Dict:
         if path and os.path.exists(path):
             _DEFAULT_PARAMS = load_params(path)
         else:
-            _DEFAULT_PARAMS = init_random(jax.random.PRNGKey(3407))
+            _DEFAULT_PARAMS = init_random(3407)
     return _DEFAULT_PARAMS

@@ -73,7 +73,10 @@ def _composite_chunk(T_in, done_in, alpha, feat):
     return T_out, fired[-1], acc
 
 
-@partial(jax.jit, static_argnames=("height", "width", "tile_h", "tile_w", "chunk"))
+@partial(
+    jax.jit,
+    static_argnames=("height", "width", "tile_h", "tile_w", "chunk", "remat"),
+)
 def rasterize_reference(
     proj: Projected,
     bg_color,
@@ -82,6 +85,7 @@ def rasterize_reference(
     tile_h: int = 16,
     tile_w: int = 16,
     chunk: int = 128,
+    remat: bool = False,
 ):
     """Rasterize pre-projected Gaussians. Returns dict of (H,W,*) images."""
     P = proj.mean2d.shape[0]
@@ -153,7 +157,8 @@ def rasterize_reference(
     )
     T0 = jnp.ones((N,), jnp.float32)
     done0 = jnp.zeros((N,), bool)
-    (T_final, _), accs = jax.lax.scan(body, (T0, done0), inputs)
+    scan_body = jax.checkpoint(body) if remat else body
+    (T_final, _), accs = jax.lax.scan(scan_body, (T0, done0), inputs)
     acc = accs.sum(0)  # (N, C+2)
 
     C = proj.color.shape[-1]

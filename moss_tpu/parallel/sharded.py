@@ -1,0 +1,200 @@
+"""Multi-chip training: ('data', 'tile') mesh, replicated cloud, sharded pixels.
+
+The reference is strictly single-GPU (SURVEY.md §2.4); this is the TPU-native
+scaling design from BASELINE.json / SURVEY §7: the Gaussian cloud (and MLPs)
+are replicated, pixels are sharded — each chip rasterizes a horizontal band of
+the image (bands align with the 8-row kernel tiles) — and frames are
+data-parallel across the 'data' axis. jax.grad differentiates *through*
+shard_map, so the transpose of the replicated parameters inserts the
+per-Gaussian gradient all-reduce over ICI automatically ("replicate Gaussians,
+shard tiles, psum grads").
+
+Perceptual losses (SSIM/LPIPS/S3IM) need the full frame, so each band
+all-gathers the rendered image over 'tile' (a few MB over ICI) before the loss
+— keeping one loss code path guarantees numerical parity with the single-chip
+step (tested on the 8-virtual-device CPU mesh, tests/test_parallel.py).
+
+Works on any jax.sharding.Mesh, including multi-host meshes created after
+jax.distributed.initialize() — no code change needed (SURVEY §5.8).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+if hasattr(jax, "shard_map"):
+    shard_map = jax.shard_map
+else:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+from ..config import Config
+from ..data.frames import Frame
+from ..ops import rasterize_tpu as rt
+from ..render.render import SceneContext, render_frame
+from ..train.losses import LossWeights, compute_losses
+from ..train.optim import make_optimizer
+from ..train.train_step import TrainState
+
+
+def make_mesh(n_data: int, n_tile: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= n_data * n_tile, (
+        f"need {n_data * n_tile} devices, have {len(devices)}"
+    )
+    dev = np.array(devices[: n_data * n_tile]).reshape(n_data, n_tile)
+    return Mesh(dev, ("data", "tile"))
+
+
+def band_rasterize_fn(n_tile: int, axis: str = "tile") -> Callable:
+    """A rasterize_fn for render_frame that renders this device's pixel band.
+
+    Must run inside shard_map over `axis`. The band y-origin comes from the
+    axis index; mean2d shifts into band-local coordinates (binning/blending
+    are translation-equivariant). Band images are reassembled with all_gather
+    so downstream full-image losses are exact.
+    """
+
+    def fn(proj, bg_color, height: int, width: int):
+        assert height % (n_tile * rt.TILE_H) == 0, (
+            f"image height {height} must split into {n_tile} tile-aligned bands"
+        )
+        hb = height // n_tile
+        i = jax.lax.axis_index(axis)
+        y0 = (i * hb).astype(jnp.float32)
+        shift = jnp.stack([jnp.zeros_like(y0), y0])
+        proj_local = proj._replace(mean2d=proj.mean2d - shift[None, :])
+        out = rt.rasterize_tpu(proj_local, bg_color, hb, width)
+        full = {
+            k: jax.lax.all_gather(v, axis, axis=0, tiled=True)
+            for k, v in out.items()
+            if k != "overflow"
+        }
+        full["overflow"] = jax.lax.psum(out["overflow"], axis)
+        return full
+
+    return fn
+
+
+def _shard_map_compat(f, mesh, in_specs, out_specs):
+    try:
+        return shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                         check_vma=False)
+    except TypeError:  # older kwarg name
+        return shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                         check_rep=False)
+
+
+def make_sharded_train_step(
+    scene: SceneContext,
+    cfg: Config,
+    mesh: Mesh,
+    crop_h: int,
+    crop_w: int,
+    lpips_params=None,
+):
+    """Build (init_fn, step_fn) for multi-chip training over a frame batch.
+
+    frames: a Frame pytree with leading dim n_data (use stack_frames), sharded
+    over 'data'; pixels sharded over 'tile'; params and optimizer replicated.
+    Densify statistics follow the reference semantics per frame (grad-norm per
+    frame, then summed over the batch — matching its sequential accumulation).
+    """
+    optimizer = make_optimizer(cfg.optim)
+    weights = LossWeights(
+        l1=cfg.optim.w_l1, mask=cfg.optim.w_mask, ssim=cfg.optim.w_ssim,
+        lpips=cfg.optim.w_lpips, nll=cfg.optim.w_nll, s3im=cfg.optim.w_s3im,
+    )
+    bg = jnp.ones(3) if cfg.model.white_background else jnp.zeros(3)
+    n_data, n_tile = mesh.shape["data"], mesh.shape["tile"]
+    raster = band_rasterize_fn(n_tile)
+
+    def init_fn(params):
+        return optimizer.init(params)
+
+    @functools.partial(jax.jit, static_argnames=("sh_degree",))
+    def step_fn(ts: TrainState, frames: Frame, sh_degree: int):
+        P_cap = ts.params["gauss"].capacity
+        cam0 = jax.tree.map(lambda x: x[0], frames.camera)
+
+        def device_forward(params, valid, frames_shard, dummy_shard):
+            frame = jax.tree.map(lambda x: x[0], frames_shard)
+            out = render_frame(
+                params["gauss"], valid, params.get("mlps"), scene,
+                frame.smpl_params, frame.camera, bg, sh_degree,
+                rasterize_fn=raster, mean2d_offset=dummy_shard[0],  # (P, 2)
+                motion_offset=cfg.model.motion_offset,
+            )
+            total, logs = compute_losses(
+                out, frame.image, frame.bkgd_mask, frame.bound_mask,
+                frame.pose_rotmats, frame.crop_y0, frame.crop_x0,
+                crop_h, crop_w, lpips_params=lpips_params, weights=weights,
+            )
+            total = jax.lax.pmean(total, "data")
+            logs = jax.tree.map(lambda x: jax.lax.pmean(x, "data"), logs)
+            aux = {
+                "logs": logs,
+                "vis": out["visibility_filter"][None],
+                "radii": out["radii"][None],
+                "Rs": (out["pose_out"]["Rs"][None]
+                       if out["pose_out"] is not None else jnp.zeros((1, 23, 3, 3))),
+                "bw": (out["lbs_weights"][None]
+                       if out["lbs_weights"] is not None else jnp.zeros((1, P_cap, 24))),
+            }
+            return total, aux
+
+        fwd = _shard_map_compat(
+            device_forward, mesh,
+            in_specs=(P(), P(), P("data"), P("data")),
+            out_specs=(P(), {
+                "logs": P(),
+                "vis": P("data"), "radii": P("data"),
+                "Rs": P("data"), "bw": P("data"),
+            }),
+        )
+
+        def loss_fn(params, dummy):
+            total, aux = fwd(params, ts.gstate.valid, frames, dummy)
+            return total, aux
+
+        dummy = jnp.zeros((n_data, P_cap, 2), jnp.float32)
+        (loss, aux), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(ts.params, dummy)
+
+        updates, opt_state = optimizer.update(grads[0], ts.opt_state, ts.params)
+        params = optax.apply_updates(ts.params, updates)
+
+        # densify stats (reference add_densification_stats per frame)
+        gs = ts.gstate
+        vis_b = aux["vis"]                       # (n_data, P)
+        radii_b = aux["radii"].astype(jnp.float32)
+        ndc_scale = jnp.array([cam0.width * 0.5, cam0.height * 0.5], jnp.float32)
+        g_dummy = grads[1]                       # (n_data, P, 2), per-frame
+        gnorm_b = jnp.linalg.norm(g_dummy * ndc_scale[None, None, :], axis=-1)
+        gstate = dataclasses.replace(
+            gs,
+            xyz_grad_accum=gs.xyz_grad_accum
+            + jnp.sum(jnp.where(vis_b, gnorm_b, 0.0), axis=0),
+            denom=gs.denom + jnp.sum(vis_b.astype(jnp.float32), axis=0),
+            max_radii2d=jnp.maximum(
+                gs.max_radii2d,
+                jnp.max(jnp.where(vis_b, radii_b, 0.0), axis=0),
+            ),
+            joint_F=gs.joint_F + jnp.sum(aux["Rs"], axis=0),
+            lbs_weight_sum=gs.lbs_weight_sum + jnp.sum(aux["bw"], axis=0),
+        )
+        return TrainState(params, opt_state, gstate, ts.step + 1), aux["logs"]
+
+    return init_fn, step_fn
+
+
+def stack_frames(frames):
+    """Stack Frame pytrees along a new leading axis (camera statics must match)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *frames)
