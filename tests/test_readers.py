@@ -1,0 +1,113 @@
+"""Dataset reader tests on synthetic on-disk fixtures (SURVEY.md §4)."""
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+import imageio.v2 as imageio
+
+from moss_tpu.data.readers import (
+    get_bound_2d_mask, read_monocap, read_zju_mocap_refine,
+)
+
+
+def _write_zju_fixture(root, n_views=6, n_frames=510, H=64, W=64):
+    """Minimal ZJU-MoCap-Refine layout: annots.npy + images/mask dirs +
+    smpl_vertices/ + smpl_params/. Only the frames the reader touches are
+    materialized on disk."""
+    rng = np.random.default_rng(0)
+    K = np.array([[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]])
+    cams = {
+        "K": [K.copy() * (1 + 0.01 * i) for i in range(n_views)],
+        "D": [np.zeros(5) for _ in range(n_views)],
+        "R": [np.eye(3) for _ in range(n_views)],
+        "T": [np.array([[0.0], [0.0], [2000.0]]) for _ in range(n_views)],
+    }
+    for i in range(n_views):
+        cams["K"][i][2, 2] = 1.0
+    ims = []
+    needed = set()
+    for f in range(n_frames):
+        ims.append({"ims": [f"images/{v:02d}/{f:06d}.jpg" for v in range(n_views)]})
+    # train: view 4, frames 0..495 step5; test: views !=4,!=3, frames step30 x17
+    for f in range(0, 500, 5):
+        needed.add((4, f))
+    for f in range(0, 510, 30):
+        for v in range(n_views):
+            if v not in (3, 4):
+                needed.add((v, f))
+    os.makedirs(os.path.join(root, "smpl_vertices"), exist_ok=True)
+    os.makedirs(os.path.join(root, "smpl_params"), exist_ok=True)
+    frames_written = set()
+    for v, f in needed:
+        d_img = os.path.join(root, "images", f"{v:02d}")
+        d_msk = os.path.join(root, "mask", f"{v:02d}")
+        os.makedirs(d_img, exist_ok=True)
+        os.makedirs(d_msk, exist_ok=True)
+        img = (rng.uniform(0, 255, (H, W, 3))).astype(np.uint8)
+        msk = np.zeros((H, W), np.uint8)
+        msk[16:48, 16:48] = 255
+        imageio.imwrite(os.path.join(d_img, f"{f:06d}.jpg"), img)
+        imageio.imwrite(os.path.join(d_msk, f"{f:06d}.png"), msk)
+        if f not in frames_written:
+            frames_written.add(f)
+            verts = rng.normal(0, 0.3, (100, 3)).astype(np.float32) + [0, 0, 2.0]
+            np.save(os.path.join(root, "smpl_vertices", f"{f}.npy"), verts)
+            params = {
+                "poses": rng.normal(0, 0.1, (1, 72)).astype(np.float32),
+                "shapes": rng.normal(0, 0.5, (1, 10)).astype(np.float32),
+                "Rh": rng.normal(0, 0.1, (1, 3)).astype(np.float32),
+                "Th": rng.normal(0, 0.1, (1, 3)).astype(np.float32),
+            }
+            np.save(os.path.join(root, "smpl_params", f"{f}.npy"), params)
+    np.save(os.path.join(root, "annots.npy"), {"cams": cams, "ims": ims})
+
+
+class TestBoundMask:
+    def test_box_in_front_of_camera(self):
+        K = np.array([[60.0, 0, 32], [0, 60.0, 32], [0, 0, 1]])
+        w2c = np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1)
+        bounds = np.array([[-0.3, -0.3, 1.7], [0.3, 0.3, 2.3]])
+        mask = get_bound_2d_mask(bounds, K, w2c, 64, 64)
+        assert mask[32, 32] == 1
+        assert mask[0, 0] == 0
+        assert 0 < mask.sum() < 64 * 64
+
+
+class TestZJUReader:
+    def test_reads_fixture(self, tmp_path):
+        root = str(tmp_path / "my_377")
+        os.makedirs(root)
+        _write_zju_fixture(root)
+        scene, specs = read_zju_mocap_refine(root, split="train")
+        assert len(specs) == 100  # 100 poses x 1 train view
+        scene_t, specs_t = read_zju_mocap_refine(root, split="test")
+        assert len(specs_t) == 17 * 4  # 17 poses x (6 views - train view - view 3)
+
+        frame = specs[0].load(crop_hw=(32, 32))
+        assert frame.image.shape == (32, 32, 3)  # 0.5x of 64
+        assert frame.bkgd_mask.shape == (32, 32)
+        assert frame.bound_mask.shape == (32, 32)
+        assert float(frame.bound_mask.sum()) > 0
+        assert frame.poses.shape == (1, 72)
+        assert frame.pose_rotmats.shape == (23, 3, 3)
+        # masked-out pixels are black (white_background=False)
+        img = np.asarray(frame.image)
+        msk = np.asarray(frame.bkgd_mask)
+        assert np.allclose(img[msk == 0], 0.0)
+
+    def test_camera_projection_consistency(self, tmp_path):
+        """A world point at the camera axis lands at the principal point."""
+        root = str(tmp_path / "my_377")
+        os.makedirs(root)
+        _write_zju_fixture(root)
+        _, specs = read_zju_mocap_refine(root, split="train")
+        frame = specs[0].load()
+        import jax.numpy as jnp
+        from moss_tpu.ops.projection import project_points
+
+        depth, p = project_points(
+            jnp.array([[0.0, 0.0, 0.0]]), frame.camera.world_view, frame.camera.full_proj
+        )
+        assert float(depth[0]) == pytest.approx(2.0, rel=1e-3)
