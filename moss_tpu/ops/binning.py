@@ -161,14 +161,38 @@ class AlignedBinning(NamedTuple):
 
 
 def align_binning(
-    b: TileBinning, num_tiles: int, align: int = 128, guard: int = 0
+    b: TileBinning,
+    num_tiles: int,
+    align: int = 128,
+    guard: int = 0,
+    pair_budget: int = 0,
 ) -> AlignedBinning:
-    """Scatter the tile-sorted pair list into the `align`-aligned layout.
+    """Re-lay the tile-sorted pair list into the `align`-aligned layout.
 
-    Output size is static: NPAIRS + align*num_tiles + guard.
+    pair_budget (static, 0 = no budget) caps the number of live pairs the
+    aligned layout covers: the tile sort pushes dead pairs to the end, so live
+    pairs occupy a prefix whose true length is typically a small fraction of
+    the worst-case P*max_tiles budget — the align/gather/kernel/backward costs
+    all scale with the aligned size, so capping it is a large constant-factor
+    win. Pairs beyond the budget (late tiles of a pathological frame) are
+    dropped and counted in `overflow` — never silently (SURVEY §7: no silent
+    caps).
+
+    Output size is static: min(NPAIRS, budget) + align*num_tiles + guard.
     """
     NP = b.pair_gaussian.shape[0]
-    padded_counts = ((b.tile_count + align - 1) // align) * align
+    tile_count = b.tile_count
+    tile_start_src = b.tile_start
+    budget_overflow = jnp.zeros((), jnp.int32)
+    if pair_budget and pair_budget < NP:
+        end = jnp.minimum(tile_start_src + tile_count, pair_budget)
+        start_c = jnp.minimum(tile_start_src, pair_budget)
+        new_count = jnp.maximum(end - start_c, 0)
+        budget_overflow = jnp.sum(tile_count - new_count)
+        tile_count = new_count
+        tile_start_src = start_c
+        NP = pair_budget
+    padded_counts = ((tile_count + align - 1) // align) * align
     astart = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_counts).astype(jnp.int32)]
     )  # (num_tiles+1,): astart[t] start, astart[-1] = start of dead tail
@@ -186,8 +210,8 @@ def align_binning(
     tile_of_d = jax.lax.cummax(marker)
     in_tail = d >= astart[num_tiles]
     off = d - astart[tile_of_d]
-    src = jnp.clip(b.tile_start[tile_of_d] + off, 0, NP - 1)
-    in_range = (~in_tail) & (off < b.tile_count[tile_of_d])
+    src = jnp.clip(tile_start_src[tile_of_d] + off, 0, b.pair_gaussian.shape[0] - 1)
+    in_range = (~in_tail) & (off < tile_count[tile_of_d])
 
     pair_gaussian = jnp.where(in_range, b.pair_gaussian[src], 0)
     return AlignedBinning(
@@ -195,7 +219,7 @@ def align_binning(
         pair_valid=in_range,
         pair_tile=tile_of_d,
         tile_start=astart[:num_tiles],
-        tile_count=b.tile_count,
+        tile_count=tile_count,
         num_pairs=jnp.sum(b.pair_valid.astype(jnp.int32)),
-        overflow=b.overflow,
+        overflow=b.overflow + budget_overflow,
     )

@@ -380,7 +380,8 @@ class _TileGeometry(NamedTuple):
     overflow: jnp.ndarray
 
 
-def _build_pairs(proj: Projected, height, width, max_tiles_per_gaussian):
+def _build_pairs(proj: Projected, height, width, max_tiles_per_gaussian,
+                 pair_budget: int = 0):
     grid_h = -(-height // TILE_H)
     grid_w = -(-width // TILE_W)
     num_tiles = grid_h * grid_w
@@ -388,7 +389,10 @@ def _build_pairs(proj: Projected, height, width, max_tiles_per_gaussian):
         proj.mean2d, proj.depth, proj.radius, proj.valid,
         height, width, TILE_H, TILE_W, max_tiles_per_gaussian,
     )
-    ab = align_binning(b, num_tiles)
+    if pair_budget == 0:
+        # heuristic: live pairs are a small multiple of P plus per-tile padding
+        pair_budget = 6 * proj.mean2d.shape[0] + 32 * num_tiles
+    ab = align_binning(b, num_tiles, pair_budget=pair_budget)
     NP2 = ab.pair_gaussian.shape[0]
 
     gid = ab.pair_gaussian
@@ -424,14 +428,16 @@ def _build_pairs(proj: Projected, height, width, max_tiles_per_gaussian):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("height", "width", "max_tiles_per_gaussian")
+    jax.jit,
+    static_argnames=("height", "width", "max_tiles_per_gaussian", "pair_budget"),
 )
 def rasterize_tpu(
     proj: Projected,
     bg_color,
     height: int,
     width: int,
-    max_tiles_per_gaussian: int = 32,
+    max_tiles_per_gaussian: int = 16,
+    pair_budget: int = 0,
 ):
     """Drop-in replacement for rasterize_reference on TPU (same return dict).
 
@@ -439,7 +445,9 @@ def rasterize_tpu(
     bg_color: the kernel's per-pair gradients flow back to Gaussians through
     the gather's transpose (a deterministic scatter-add).
     """
-    tg, grid_h, grid_w = _build_pairs(proj, height, width, max_tiles_per_gaussian)
+    tg, grid_h, grid_w = _build_pairs(
+        proj, height, width, max_tiles_per_gaussian, pair_budget
+    )
 
     r, g, b, d, a, T = _make_rasterize_pairs(grid_h, grid_w)(
         tg.geom, tg.tile_start, tg.tile_count

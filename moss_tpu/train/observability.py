@@ -1,0 +1,111 @@
+"""Observability: TensorBoard scalars/images, EMA progress, result files.
+
+TPU-native counterpart of the reference's logging (SURVEY.md §5.5):
+tensorboardX scalars + image dumps (train_ZJU.py:220-291), tqdm-style EMA
+losses (:144-158), per-subject metric lines appended to result/<dataset>.txt
+(:269-272,314-321), plus jax.profiler trace capture replacing CUDA-event
+timing (SURVEY §5.1).
+"""
+from __future__ import annotations
+
+import contextlib
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class EMALogger:
+    """EMA-smoothed loss tracker (the reference's 0.4/0.6 mix, train_ZJU.py:146)."""
+
+    def __init__(self, alpha: float = 0.4):
+        self.alpha = alpha
+        self.values: Dict[str, float] = {}
+
+    def update(self, logs: Dict) -> Dict[str, float]:
+        for k, v in logs.items():
+            try:
+                f = float(v)
+            except (TypeError, ValueError):
+                continue
+            self.values[k] = self.alpha * f + (1 - self.alpha) * self.values.get(k, f)
+        return dict(self.values)
+
+
+class TBWriter:
+    """Thin tensorboardX wrapper; silently disabled when unavailable."""
+
+    def __init__(self, logdir: Optional[str]):
+        self.writer = None
+        if logdir:
+            try:
+                from tensorboardX import SummaryWriter
+
+                os.makedirs(logdir, exist_ok=True)
+                self.writer = SummaryWriter(logdir)
+            except ImportError:
+                pass
+
+    def scalar(self, tag: str, value, step: int):
+        if self.writer is not None:
+            self.writer.add_scalar(tag, float(value), step)
+
+    def scalars(self, logs: Dict, step: int, prefix: str = "train/"):
+        for k, v in logs.items():
+            try:
+                self.scalar(prefix + k, float(v), step)
+            except (TypeError, ValueError):
+                pass
+
+    def image(self, tag: str, img_hwc, step: int):
+        if self.writer is not None:
+            img = np.clip(np.asarray(img_hwc), 0, 1)
+            self.writer.add_image(tag, img, step, dataformats="HWC")
+
+    def histogram(self, tag: str, values, step: int):
+        if self.writer is not None:
+            self.writer.add_histogram(tag, np.asarray(values), step)
+
+    def close(self):
+        if self.writer is not None:
+            self.writer.close()
+
+
+def append_result_line(path: str, iteration: int, psnr: float, ssim: float, lpips: float):
+    """Reference result-file format: 'iter psnr ssim lpips*1000' (train_ZJU.py:270)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "a") as f:
+        f.write(f"{iteration} {psnr} {ssim} {lpips * 1000}\n")
+
+
+@contextlib.contextmanager
+def profile_trace(logdir: Optional[str]):
+    """jax.profiler trace capture (SURVEY §5.1's TPU answer to CUDA events)."""
+    if not logdir:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class Timer:
+    """Wall-clock section timing with block_until_ready semantics."""
+
+    def __init__(self):
+        self.sections: Dict[str, float] = {}
+
+    @contextlib.contextmanager
+    def section(self, name: str, sync_value=None):
+        t0 = time.time()
+        yield
+        if sync_value is not None:
+            import jax
+
+            jax.block_until_ready(sync_value)
+        self.sections[name] = self.sections.get(name, 0.0) + time.time() - t0

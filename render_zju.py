@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Evaluate / render ZJU-MoCap-Refine checkpoints (TPU-native equivalent of
+/root/reference/render_ZJU.py).
+
+Loads a training checkpoint, caches per-pose deformation transforms (the
+reference's smpl_rot.pickle shortcut, render_ZJU.py:42-58), renders the test
+split through the MLP-free path while measuring wall-clock FPS, and reports
+PSNR/SSIM/LPIPS with optional PNG dumps.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import time
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_root", required=True)
+    p.add_argument("--smpl", default=None)
+    p.add_argument("--subjects", nargs="+",
+                   default=["377", "386", "387", "392", "393", "394"])
+    p.add_argument("--iterations", nargs="+", type=int,
+                   default=[2700, 2700, 3000, 3000, 2500, 2700],
+                   help="best iteration per subject (render_ZJU.py:135)")
+    p.add_argument("--output", default="output/zju_mocap_refine")
+    p.add_argument("--save_images", action="store_true")
+    p.add_argument("--white_background", action="store_true")
+    p.add_argument("--rasterizer", choices=["pallas", "reference"], default="pallas")
+    p.add_argument("--reader", default="zju", choices=["zju", "monocap"])
+    return p.parse_args()
+
+
+def render_subject(args, subject: str, iteration: int):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from moss_tpu.config import Config, ModelConfig, PipelineConfig
+    from moss_tpu.data.readers import read_monocap, read_zju_mocap_refine
+    from moss_tpu.ops import lpips_jax
+    from moss_tpu.ops.ssim import psnr as psnr_fn, ssim as ssim_fn
+    from moss_tpu.render.render import render_frame
+    from moss_tpu.train.checkpoint import restore_checkpoint
+    from moss_tpu.train.trainer import Trainer
+
+    reader = read_zju_mocap_refine if args.reader == "zju" else read_monocap
+    path = os.path.join(args.data_root, f"my_{subject}" if args.reader == "zju" else subject)
+    scene, test_specs = reader(path, "test", args.white_background, smpl_path=args.smpl)
+    test_frames = [s.load() for s in test_specs]
+
+    cfg = Config(
+        model=ModelConfig(white_background=args.white_background),
+        pipe=PipelineConfig(rasterizer=args.rasterizer),
+        model_path=os.path.join(
+            args.output, f"my_{subject}" if args.reader == "zju" else subject
+        ),
+    )
+    trainer = Trainer(scene, test_frames[:1], test_frames, cfg)
+    ckpt_path = os.path.join(cfg.model_path, f"chkpnt{iteration}.npz")
+    trainer.load(ckpt_path)
+
+    bg = jnp.ones(3) if args.white_background else jnp.zeros(3)
+    lp = lpips_jax.get_default_params()
+
+    # 1. cache per-pose transforms (MLP-free eval path)
+    smpl_rot = {}
+    for frame in test_frames:
+        pid = int(frame.pose_id)
+        if pid not in smpl_rot:
+            out = trainer.render_eval(frame)
+            smpl_rot[pid] = (out["transforms"], out["translation"])
+    cache_dir = os.path.join(cfg.model_path, "smpl_rot", f"iteration_{iteration}")
+    os.makedirs(cache_dir, exist_ok=True)
+    with open(os.path.join(cache_dir, "smpl_rot.pickle"), "wb") as f:
+        pickle.dump({k: jax.device_get(v) for k, v in smpl_rot.items()}, f)
+
+    # 2. timed MLP-free rendering + metrics
+    def cached_render(frame, transforms, translation):
+        return render_frame(
+            trainer.ts.params["gauss"], trainer.ts.gstate.valid,
+            trainer.ts.params.get("mlps"), scene, frame.smpl_params,
+            frame.camera, bg, cfg.model.sh_degree,
+            rasterize_fn=trainer.rasterize_fn,
+            cached_transforms=transforms, cached_translation=translation,
+        )["render"]
+
+    # warm compile
+    f0 = test_frames[0]
+    _ = jax.block_until_ready(cached_render(f0, *smpl_rot[int(f0.pose_id)]))
+
+    t0 = time.time()
+    renders = []
+    for frame in test_frames:
+        renders.append(cached_render(frame, *smpl_rot[int(frame.pose_id)]))
+    jax.block_until_ready(renders[-1])
+    fps = len(test_frames) / (time.time() - t0)
+
+    psnr_v = ssim_v = lpips_v = 0.0
+    img_dir = os.path.join(cfg.model_path, "renders", f"iteration_{iteration}")
+    if args.save_images:
+        os.makedirs(img_dir, exist_ok=True)
+    for i, (frame, img) in enumerate(zip(test_frames, renders)):
+        img = jnp.clip(img, 0, 1)
+        gt = jnp.clip(frame.image, 0, 1)
+        psnr_v += float(psnr_fn(img, gt))
+        ssim_v += float(ssim_fn(img, gt))
+        lpips_v += float(lpips_jax.lpips(lp, img, gt))
+        if args.save_images:
+            import imageio.v2 as imageio
+
+            imageio.imwrite(
+                os.path.join(img_dir, f"{i:05d}.png"),
+                (np.asarray(img) * 255).astype(np.uint8),
+            )
+    n = len(test_frames)
+    result = {
+        "subject": subject, "iteration": iteration, "fps": fps,
+        "psnr": psnr_v / n, "ssim": ssim_v / n, "lpips_x1000": lpips_v / n * 1000,
+    }
+    print(json.dumps(result))
+    return result
+
+
+def main():
+    args = parse_args()
+    for subject, iteration in zip(args.subjects, args.iterations):
+        render_subject(args, subject, iteration)
+
+
+if __name__ == "__main__":
+    main()

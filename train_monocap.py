@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Train on MonoCap sequences (TPU-native equivalent of
+/root/reference/train_monocap.py).
+
+Same loop as train_zju.py over MonoCap sequences at full resolution, metrics
+appended to result/monocap.txt.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_root", required=True)
+    p.add_argument("--smpl", default=None)
+    p.add_argument("--sequences", nargs="+", default=["olek_images0812"])
+    p.add_argument("--iterations", type=int, default=3000)
+    p.add_argument("--test_iterations", nargs="+", type=int, default=[2500, 2700, 3000])
+    p.add_argument("--output", default="output/monocap")
+    p.add_argument("--result_file", default="result/monocap.txt")
+    p.add_argument("--white_background", action="store_true")
+    p.add_argument("--rasterizer", choices=["pallas", "reference"], default="pallas")
+    p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--crop", type=int, default=512)
+    return p.parse_args()
+
+
+def train_sequence(args, seq: str):
+    from moss_tpu.config import Config, ModelConfig, OptimConfig, PipelineConfig
+    from moss_tpu.data.readers import read_monocap
+    from moss_tpu.train.observability import EMALogger, TBWriter, append_result_line
+    from moss_tpu.train.trainer import Trainer
+
+    path = os.path.join(args.data_root, seq)
+    print(f"[{seq}] reading {path}")
+    scene, train_specs = read_monocap(
+        path, "train", args.white_background, smpl_path=args.smpl
+    )
+    _, test_specs = read_monocap(
+        path, "test", args.white_background, smpl_path=args.smpl
+    )
+    crop_hw = (args.crop, args.crop)
+    train_frames = [s.load(crop_hw) for s in train_specs]
+    test_frames = [s.load(crop_hw) for s in test_specs]
+
+    cfg = Config(
+        model=ModelConfig(white_background=args.white_background),
+        optim=OptimConfig(iterations=args.iterations),
+        pipe=PipelineConfig(
+            rasterizer=args.rasterizer,
+            test_iterations=tuple(args.test_iterations),
+        ),
+        exp_name=f"monocap/{seq}",
+        model_path=os.path.join(args.output, seq),
+    )
+    tb = TBWriter(cfg.model_path if args.tensorboard else None)
+    ema = EMALogger()
+    t0 = time.time()
+
+    def log(it, logs):
+        sm = ema.update(logs)
+        tb.scalars(logs, it)
+        if it % 100 == 0:
+            print(f"[{seq}] iter {it} loss={sm.get('loss', 0):.4f} "
+                  f"l1={sm.get('l1', 0):.4f} ({time.time() - t0:.0f}s)")
+
+    trainer = Trainer(scene, train_frames, test_frames, cfg, crop_hw=crop_hw, log_fn=log)
+    metrics = trainer.train(eval_iters=args.test_iterations)
+    for m in metrics:
+        append_result_line(args.result_file, m["iteration"], m["psnr"], m["ssim"], m["lpips"])
+        print(f"[{seq}] iter {m['iteration']}: PSNR {m['psnr']:.3f} "
+              f"SSIM {m['ssim']:.5f} LPIPSx1e3 {m['lpips'] * 1000:.3f}")
+        trainer.save(os.path.join(cfg.model_path, f"chkpnt{m['iteration']}.npz"))
+    tb.close()
+    return metrics
+
+
+def main():
+    args = parse_args()
+    os.makedirs(os.path.dirname(args.result_file) or ".", exist_ok=True)
+    for seq in args.sequences:
+        with open(args.result_file, "a") as f:
+            f.write(f"\n{seq}\n")
+        train_sequence(args, seq)
+    print("\nTraining complete.")
+
+
+if __name__ == "__main__":
+    main()

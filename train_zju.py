@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Train on ZJU-MoCap-Refine subjects (TPU-native equivalent of
+/root/reference/train_ZJU.py).
+
+Per-subject loop over ['377','386','387','392','393','394'], 3000 iterations
+each, test/save at {2500,2700,3000}, metrics appended to result/ZJU.txt in the
+reference's format. The SMPL asset path and dataset root come from the CLI.
+
+Example:
+    python train_zju.py --data_root /data/zju_mocap --smpl assets/SMPL_NEUTRAL.pkl \
+        --subjects 377 386
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_root", required=True, help="dir containing my_<subject>/")
+    p.add_argument("--smpl", default=None, help="path to SMPL_NEUTRAL.pkl")
+    p.add_argument("--subjects", nargs="+",
+                   default=["377", "386", "387", "392", "393", "394"])
+    p.add_argument("--iterations", type=int, default=3000)
+    p.add_argument("--test_iterations", nargs="+", type=int, default=[2500, 2700, 3000])
+    p.add_argument("--output", default="output/zju_mocap_refine")
+    p.add_argument("--result_file", default="result/ZJU.txt")
+    p.add_argument("--white_background", action="store_true")
+    p.add_argument("--rasterizer", choices=["pallas", "reference"], default="pallas")
+    p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--crop", type=int, default=256, help="static SSIM/LPIPS crop size")
+    return p.parse_args()
+
+
+def train_subject(args, subject: str):
+    import dataclasses
+
+    import jax
+
+    from moss_tpu.config import Config, ModelConfig, OptimConfig, PipelineConfig
+    from moss_tpu.data.readers import read_zju_mocap_refine
+    from moss_tpu.train.observability import EMALogger, TBWriter, append_result_line
+    from moss_tpu.train.trainer import Trainer
+
+    path = os.path.join(args.data_root, f"my_{subject}")
+    print(f"[{subject}] reading {path}")
+    scene, train_specs = read_zju_mocap_refine(
+        path, "train", args.white_background, smpl_path=args.smpl
+    )
+    _, test_specs = read_zju_mocap_refine(
+        path, "test", args.white_background, smpl_path=args.smpl
+    )
+    crop_hw = (args.crop, args.crop)
+    train_frames = [s.load(crop_hw) for s in train_specs]
+    test_frames = [s.load(crop_hw) for s in test_specs]
+
+    cfg = Config(
+        model=ModelConfig(white_background=args.white_background),
+        optim=OptimConfig(iterations=args.iterations),
+        pipe=PipelineConfig(
+            rasterizer=args.rasterizer,
+            test_iterations=tuple(args.test_iterations),
+        ),
+        exp_name=f"zju_mocap_refine/my_{subject}",
+        model_path=os.path.join(args.output, f"my_{subject}"),
+    )
+    tb = TBWriter(cfg.model_path if args.tensorboard else None)
+    ema = EMALogger()
+    t0 = time.time()
+
+    def log(it, logs):
+        sm = ema.update(logs)
+        tb.scalars(logs, it)
+        if it % 100 == 0:
+            msg = " ".join(f"{k}={sm[k]:.4f}" for k in ("loss", "l1", "ssim") if k in sm)
+            print(f"[{subject}] iter {it} {msg} pts={int(logs['num_points'])} "
+                  f"({time.time() - t0:.0f}s)")
+
+    trainer = Trainer(scene, train_frames, test_frames, cfg, crop_hw=crop_hw, log_fn=log)
+    metrics = trainer.train(eval_iters=args.test_iterations)
+    for m in metrics:
+        append_result_line(args.result_file, m["iteration"], m["psnr"], m["ssim"], m["lpips"])
+        print(f"[{subject}] iter {m['iteration']}: PSNR {m['psnr']:.3f} "
+              f"SSIM {m['ssim']:.5f} LPIPSx1e3 {m['lpips'] * 1000:.3f}")
+        trainer.save(os.path.join(cfg.model_path, f"chkpnt{m['iteration']}.npz"))
+
+    # PLY export for 3DGS-viewer interop
+    from moss_tpu.data.ply import save_ply
+    import numpy as np
+
+    g = trainer.ts.params["gauss"]
+    valid = np.asarray(trainer.ts.gstate.valid)
+    save_ply(
+        os.path.join(cfg.model_path, "point_cloud.ply"),
+        np.asarray(g.xyz)[valid], np.asarray(g.f_dc)[valid],
+        np.asarray(g.f_rest)[valid], np.asarray(g.opacity)[valid],
+        np.asarray(g.scaling)[valid], np.asarray(g.rotation)[valid],
+    )
+    tb.close()
+    return metrics
+
+
+def main():
+    args = parse_args()
+    os.makedirs(os.path.dirname(args.result_file) or ".", exist_ok=True)
+    for subject in args.subjects:
+        with open(args.result_file, "a") as f:
+            f.write(f"\nmy_{subject}\n")
+        train_subject(args, subject)
+    print("\nTraining complete.")
+
+
+if __name__ == "__main__":
+    main()
