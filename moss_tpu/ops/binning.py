@@ -184,6 +184,8 @@ def align_binning(
     tile_count = b.tile_count
     tile_start_src = b.tile_start
     budget_overflow = jnp.zeros((), jnp.int32)
+    if pair_budget:
+        pair_budget = ((pair_budget + align - 1) // align) * align
     if pair_budget and pair_budget < NP:
         end = jnp.minimum(tile_start_src + tile_count, pair_budget)
         start_c = jnp.minimum(tile_start_src, pair_budget)
@@ -197,21 +199,39 @@ def align_binning(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_counts).astype(jnp.int32)]
     )  # (num_tiles+1,): astart[t] start, astart[-1] = start of dead tail
     NP2 = NP + align * num_tiles + guard
+    NP2 = ((NP2 + align - 1) // align) * align
 
     # GATHER formulation (a scatter over NPAIRS serializes on TPU): for each
     # aligned destination d, its source in the tile-sorted list is
     #   tile_start[tile_of(d)] + (d - astart[tile_of(d)]).
-    # tile_of(d) via a tiny (num_tiles-element) scatter + cummax instead of a
-    # searchsorted over NP2 elements (which lowers to log-depth mega-gathers).
-    d = jnp.arange(NP2, dtype=jnp.int32)
-    marker = jnp.zeros((NP2,), jnp.int32).at[astart[:num_tiles]].max(
-        jnp.arange(num_tiles, dtype=jnp.int32)
+    # Every astart is a multiple of `align`, so tile_of(d) and all per-tile
+    # quantities are computed at BLOCK granularity (NP2/align values, a tiny
+    # searchsorted + broadcast) — per-element scatters/cummax/searchsorted
+    # over NP2 all lower pathologically on TPU (~10 ms/frame measured).
+    assert NP2 % align == 0, "pair budget and guard must be align-multiples"
+    nb = NP2 // align
+    blocks = jnp.arange(nb, dtype=jnp.int32)
+    astart_b = astart // align  # (num_tiles+1,), sorted
+    tile_of_block = jnp.clip(
+        jnp.searchsorted(astart_b[1:], blocks, side="right").astype(jnp.int32),
+        0, num_tiles - 1,
     )
-    tile_of_d = jax.lax.cummax(marker)
-    in_tail = d >= astart[num_tiles]
-    off = d - astart[tile_of_d]
-    src = jnp.clip(tile_start_src[tile_of_d] + off, 0, b.pair_gaussian.shape[0] - 1)
-    in_range = (~in_tail) & (off < tile_count[tile_of_d])
+    in_tail_b = blocks >= astart_b[num_tiles]
+
+    def bcast(x_b):
+        return jnp.broadcast_to(x_b[:, None], (nb, align)).reshape(-1)
+
+    lane = jnp.broadcast_to(
+        jnp.arange(align, dtype=jnp.int32)[None, :], (nb, align)
+    ).reshape(-1)
+    tile_of_d = bcast(tile_of_block)
+    off = bcast(blocks * align - astart[tile_of_block]) + lane
+    src = jnp.clip(
+        bcast(tile_start_src[tile_of_block]) + off, 0, b.pair_gaussian.shape[0] - 1
+    )
+    in_range = (~bcast(in_tail_b.astype(jnp.int32)).astype(bool)) & (
+        off < bcast(tile_count[tile_of_block])
+    )
 
     pair_gaussian = jnp.where(in_range, b.pair_gaussian[src], 0)
     return AlignedBinning(

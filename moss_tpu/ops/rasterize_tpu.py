@@ -397,23 +397,34 @@ def _build_pairs(proj: Projected, height, width, max_tiles_per_gaussian,
 
     gid = ab.pair_gaussian
     tile_of_pair = ab.pair_tile
-    ox = (tile_of_pair % grid_w) * TILE_W
-    oy = (tile_of_pair // grid_w) * TILE_H
+    ox = ((tile_of_pair % grid_w) * TILE_W).astype(proj.mean2d.dtype)
+    oy = ((tile_of_pair // grid_w) * TILE_H).astype(proj.mean2d.dtype)
 
-    mean = proj.mean2d[gid]
+    # ONE contiguous row-gather (per-field gathers cost ~10 ms/frame on TPU;
+    # 64-byte row gathers vectorize ~an order of magnitude better), then the
+    # tile-local shift and the valid column are appended as dense ops.
+    src = jnp.concatenate(
+        [
+            proj.mean2d,                    # 0:2
+            proj.conic,                     # 2:5
+            proj.opacity[:, None],          # 5
+            proj.color,                     # 6:9
+            proj.depth[:, None],            # 9
+        ],
+        axis=1,
+    )  # (P, 10)
+    rows = src[gid]  # (NP2, 10)
+    valid_f = ab.pair_valid.astype(rows.dtype)
     geom = jnp.concatenate(
         [
-            (mean[:, 0] - ox.astype(mean.dtype))[None],
-            (mean[:, 1] - oy.astype(mean.dtype))[None],
-            proj.conic[gid].T,
-            proj.opacity[gid][None],
-            proj.color[gid].T,
-            proj.depth[gid][None],
-            ab.pair_valid[None].astype(mean.dtype),
-            jnp.zeros((GEOM_COLS - 11, NP2), mean.dtype),
+            (rows[:, 0] - ox)[:, None],
+            (rows[:, 1] - oy)[:, None],
+            rows[:, 2:10],
+            valid_f[:, None],
+            jnp.zeros((NP2, GEOM_COLS - 11), rows.dtype),
         ],
-        axis=0,
-    )  # (16, NP2) transposed pair buffer
+        axis=1,
+    ).T  # (16, NP2) transposed pair buffer
     # gradient barrier: dead columns (incl. any uninitialized guard-tail grads
     # from the backward kernel) must not back-propagate into Gaussian 0.
     geom = jnp.where(ab.pair_valid[None, :], geom, 0.0)
