@@ -175,3 +175,18 @@ class Trainer:
 
     def load(self, path: str):
         self.ts = ckpt.restore_checkpoint(path, self.ts)
+
+    def resume_latest(self, model_path: str) -> int:
+        """Failure recovery (SURVEY.md §5.3): restore the newest periodic
+        checkpoint under model_path and return its step (0 if none). Unlike
+        the reference's restore (broken by the self.self typo,
+        gaussian_model.py:131), this path is tested."""
+        import glob
+        import re
+
+        cands = glob.glob(os.path.join(model_path, "chkpnt*.npz"))
+        if not cands:
+            return 0
+        best = max(cands, key=lambda p: int(re.findall(r"(\d+)", os.path.basename(p))[0]))
+        self.load(best)
+        return int(self.ts.step)
