@@ -116,3 +116,27 @@ def make_train_step(
 def active_sh_degree(step: int, max_degree: int) -> int:
     """SH degree grows every 1000 iterations (train_ZJU.py:85-86)."""
     return min(step // 1000, max_degree)
+
+
+def make_train_many(step_fn):
+    """Wrap a train step so N iterations run in ONE device dispatch.
+
+    On a remote/TPU-pod setup the per-dispatch host round trip (~100 ms over
+    a tunnel) dwarfs the ~27 ms step; lax.scan over device-staged frames makes
+    training device-bound. Frames: a stacked Frame pytree (leading dim F);
+    `order` is the shuffled frame-index sequence for this chunk (K,).
+    Densification and SH-degree changes happen between chunks on the host.
+    """
+
+    @functools.partial(jax.jit, static_argnames=("sh_degree",))
+    def many_fn(ts: TrainState, frames_stacked: Frame, order, sh_degree: int):
+        def body(ts, idx):
+            frame = jax.tree.map(lambda x: x[idx], frames_stacked)
+            ts, logs = step_fn(ts, frame, sh_degree)
+            return ts, logs
+
+        ts, logs_seq = jax.lax.scan(body, ts, order)
+        last_logs = jax.tree.map(lambda x: x[-1], logs_seq)
+        return ts, last_logs
+
+    return many_fn

@@ -29,7 +29,7 @@ from ..ops.ssim import ssim as ssim_fn
 from ..render.render import SceneContext, render_frame
 from . import checkpoint as ckpt
 from .densify import densify_and_prune
-from .train_step import TrainState, active_sh_degree, make_train_step
+from .train_step import TrainState, active_sh_degree, make_train_many, make_train_step
 
 
 def init_gaussians_and_mlps(scene: SceneContext, cfg: Config, key, init_colors=None):
@@ -89,38 +89,85 @@ class Trainer:
         self.metrics_history: List[Dict] = []
 
     # ------------------------------------------------------------------
-    def train(self, iterations: Optional[int] = None, eval_iters=None):
+    def _host_boundaries(self, iters: int, eval_iters) -> List[int]:
+        """Iterations after which host-side work runs (densify, opacity reset,
+        SH-degree bump, eval, logging cadence)."""
+        cfg = self.cfg
+        b = set([iters])
+        b.update(i for i in eval_iters if i <= iters)
+        b.update(range(1000, iters + 1, 1000))  # SH degree changes
+        o = cfg.optim
+        b.update(
+            i for i in range(o.densification_interval, iters + 1, o.densification_interval)
+            if o.densify_from_iter < i < o.densify_until_iter
+        )
+        b.update(range(o.opacity_reset_interval, iters + 1, o.opacity_reset_interval))
+        if cfg.model.white_background:
+            b.add(o.densify_from_iter)
+        return sorted(x for x in b if x >= 1)
+
+    def train(
+        self,
+        iterations: Optional[int] = None,
+        eval_iters=None,
+        fused_dispatch: bool = True,
+    ):
+        """Host loop. With fused_dispatch, all iterations between host
+        boundaries (densify/eval/SH changes) run in one lax.scan dispatch over
+        device-staged frames — the per-step host round trip otherwise
+        dominates wall clock on remote TPU setups."""
         cfg = self.cfg
         iters = iterations or cfg.optim.iterations
         eval_iters = set(eval_iters or cfg.pipe.test_iterations)
         rng = np.random.default_rng(cfg.seed)
-        stack: List[int] = []
         t0 = time.time()
-        for it in range(1, iters + 1):
-            if not stack:
-                stack = list(rng.permutation(len(self.train_frames)))
-            frame = self.train_frames[stack.pop()]
-            deg = active_sh_degree(it, cfg.model.sh_degree)
-            self.ts, logs = self.step_fn(self.ts, frame, deg)
 
+        # epoch-shuffled frame index sequence (reference train_ZJU.py:92-94)
+        order = []
+        while len(order) < iters:
+            order.extend(rng.permutation(len(self.train_frames)).tolist())
+        order = np.asarray(order[:iters], np.int32)
+
+        if fused_dispatch and len(self.train_frames) > 0:
+            from ..parallel.sharded import stack_frames
+
+            frames_stacked = stack_frames(self.train_frames)
+            many_fn = make_train_many(self.step_fn)
+
+        def host_work(it, logs):
+            o = cfg.optim
             if (
-                it < cfg.optim.densify_until_iter
-                and it > cfg.optim.densify_from_iter
-                and it % cfg.optim.densification_interval == 0
+                o.densify_from_iter < it < o.densify_until_iter
+                and it % o.densification_interval == 0
             ):
                 self.densify(it)
-            if it % cfg.optim.opacity_reset_interval == 0 or (
-                cfg.model.white_background and it == cfg.optim.densify_from_iter
+            if it % o.opacity_reset_interval == 0 or (
+                cfg.model.white_background and it == o.densify_from_iter
             ):
                 self.reset_opacity()
-
-            if self.log_fn is not None and it % 10 == 0:
+            if self.log_fn is not None and logs is not None:
                 self.log_fn(it, jax.device_get(logs))
             if it in eval_iters:
                 m = self.evaluate()
                 m["iteration"] = it
                 m["elapsed_s"] = time.time() - t0
                 self.metrics_history.append(m)
+
+        if fused_dispatch:
+            prev = 0
+            for bound in self._host_boundaries(iters, eval_iters):
+                if bound > prev:
+                    deg = active_sh_degree(prev + 1, cfg.model.sh_degree)
+                    chunk = jnp.asarray(order[prev:bound])
+                    self.ts, logs = many_fn(self.ts, frames_stacked, chunk, deg)
+                    host_work(bound, logs)
+                    prev = bound
+        else:
+            for it in range(1, iters + 1):
+                frame = self.train_frames[order[it - 1]]
+                deg = active_sh_degree(it, cfg.model.sh_degree)
+                self.ts, logs = self.step_fn(self.ts, frame, deg)
+                host_work(it, logs if it % 10 == 0 else None)
         return self.metrics_history
 
     # ------------------------------------------------------------------
