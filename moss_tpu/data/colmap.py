@@ -1,0 +1,187 @@
+"""COLMAP / Blender(NeRF-synthetic) scene readers — the reference's static
+scene paths (sceneLoadTypeCallbacks 'Colmap' and 'Blender',
+/root/reference/scene/dataset_readers.py:77-297, colmap_loader.py).
+
+These produce plain camera+image frames with no SMPL attachment (the
+reference's CameraInfo carries None SMPL fields on these paths); render them
+with render_frame(..., static_scene=True) which skips the deformation chain.
+"""
+from __future__ import annotations
+
+import json
+import os
+import struct
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+
+class ColmapCamera(NamedTuple):
+    id: int
+    model: str
+    width: int
+    height: int
+    params: np.ndarray
+
+
+class ColmapImage(NamedTuple):
+    id: int
+    qvec: np.ndarray
+    tvec: np.ndarray
+    camera_id: int
+    name: str
+
+
+_CAM_MODELS = {
+    0: ("SIMPLE_PINHOLE", 3), 1: ("PINHOLE", 4),
+    2: ("SIMPLE_RADIAL", 4), 3: ("RADIAL", 5), 4: ("OPENCV", 8),
+}
+
+
+def read_cameras_binary(path) -> Dict[int, ColmapCamera]:
+    cams = {}
+    with open(path, "rb") as f:
+        n = struct.unpack("<Q", f.read(8))[0]
+        for _ in range(n):
+            cam_id, model_id, w, h = struct.unpack("<iiQQ", f.read(24))
+            name, n_params = _CAM_MODELS[model_id]
+            params = np.array(struct.unpack(f"<{n_params}d", f.read(8 * n_params)))
+            cams[cam_id] = ColmapCamera(cam_id, name, int(w), int(h), params)
+    return cams
+
+
+def write_cameras_binary(path, cams: Dict[int, ColmapCamera]):
+    inv = {v[0]: k for k, v in _CAM_MODELS.items()}
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(cams)))
+        for c in cams.values():
+            f.write(struct.pack("<iiQQ", c.id, inv[c.model], c.width, c.height))
+            f.write(struct.pack(f"<{len(c.params)}d", *c.params))
+
+
+def read_images_binary(path) -> Dict[int, ColmapImage]:
+    images = {}
+    with open(path, "rb") as f:
+        n = struct.unpack("<Q", f.read(8))[0]
+        for _ in range(n):
+            img_id = struct.unpack("<i", f.read(4))[0]
+            qvec = np.array(struct.unpack("<4d", f.read(32)))
+            tvec = np.array(struct.unpack("<3d", f.read(24)))
+            cam_id = struct.unpack("<i", f.read(4))[0]
+            name = b""
+            while True:
+                ch = f.read(1)
+                if ch == b"\x00":
+                    break
+                name += ch
+            n_pts = struct.unpack("<Q", f.read(8))[0]
+            f.read(24 * n_pts)  # xys + point3D ids, unused
+            images[img_id] = ColmapImage(img_id, qvec, tvec, cam_id, name.decode())
+    return images
+
+
+def write_images_binary(path, images: Dict[int, ColmapImage]):
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(images)))
+        for im in images.values():
+            f.write(struct.pack("<i", im.id))
+            f.write(struct.pack("<4d", *im.qvec))
+            f.write(struct.pack("<3d", *im.tvec))
+            f.write(struct.pack("<i", im.camera_id))
+            f.write(im.name.encode() + b"\x00")
+            f.write(struct.pack("<Q", 0))
+
+
+def read_points3d_binary(path) -> Tuple[np.ndarray, np.ndarray]:
+    xyzs, rgbs = [], []
+    with open(path, "rb") as f:
+        n = struct.unpack("<Q", f.read(8))[0]
+        for _ in range(n):
+            f.read(8)  # id
+            xyzs.append(struct.unpack("<3d", f.read(24)))
+            rgbs.append(struct.unpack("<3B", f.read(3)))
+            f.read(8)  # error
+            track_len = struct.unpack("<Q", f.read(8))[0]
+            f.read(8 * track_len)
+    return np.array(xyzs, np.float32), np.array(rgbs, np.float32) / 255.0
+
+
+def write_points3d_binary(path, xyz, rgb_u8):
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(xyz)))
+        for i in range(len(xyz)):
+            f.write(struct.pack("<Q", i))
+            f.write(struct.pack("<3d", *xyz[i]))
+            f.write(struct.pack("<3B", *rgb_u8[i]))
+            f.write(struct.pack("<d", 0.0))
+            f.write(struct.pack("<Q", 0))
+
+
+def qvec2rotmat(q):
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def read_colmap_scene(path: str, images_dir: str = "images"):
+    """Returns (frame_specs, points, colors): specs are dicts with K/R/T/paths.
+
+    Mirrors readColmapSceneInfo (dataset_readers.py:140-186): sparse/0 binary
+    model, world-to-camera R stored transposed, intrinsics -> K.
+    """
+    sparse = os.path.join(path, "sparse", "0")
+    cams = read_cameras_binary(os.path.join(sparse, "cameras.bin"))
+    images = read_images_binary(os.path.join(sparse, "images.bin"))
+    pts_path = os.path.join(sparse, "points3D.bin")
+    if os.path.exists(pts_path):
+        xyz, rgb = read_points3d_binary(pts_path)
+    else:
+        xyz = np.zeros((0, 3), np.float32)
+        rgb = np.zeros((0, 3), np.float32)
+
+    specs = []
+    for im in sorted(images.values(), key=lambda i: i.name):
+        cam = cams[im.camera_id]
+        if cam.model == "SIMPLE_PINHOLE":
+            f_, cx, cy = cam.params
+            fx = fy = f_
+        elif cam.model == "PINHOLE":
+            fx, fy, cx, cy = cam.params[:4]
+        else:
+            fx, fy, cx, cy = cam.params[0], cam.params[0], cam.params[1], cam.params[2]
+        K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+        R_w2c = qvec2rotmat(im.qvec)
+        specs.append({
+            "K": K,
+            "R_w2c": R_w2c,
+            "T_w2c": im.tvec.reshape(3, 1),
+            "image_path": os.path.join(path, images_dir, im.name),
+            "width": cam.width, "height": cam.height,
+            "name": im.name,
+        })
+    return specs, xyz, rgb
+
+
+def read_blender_scene(path: str, split: str = "train", white_background=False):
+    """NeRF-synthetic transforms_{split}.json reader
+    (readNerfSyntheticInfo / readCamerasFromTransforms, dataset_readers.py:218-297):
+    OpenGL c2w with flipped y/z -> COLMAP w2c."""
+    with open(os.path.join(path, f"transforms_{split}.json")) as f:
+        meta = json.load(f)
+    fovx = meta["camera_angle_x"]
+    specs = []
+    for fr in meta["frames"]:
+        c2w = np.array(fr["transform_matrix"], np.float64)
+        c2w[:3, 1:3] *= -1  # OpenGL -> COLMAP axes
+        w2c = np.linalg.inv(c2w)
+        specs.append({
+            "R_w2c": w2c[:3, :3],
+            "T_w2c": w2c[:3, 3:4],
+            "image_path": os.path.join(path, fr["file_path"] + ".png"),
+            "fovx": fovx,
+            "white_background": white_background,
+        })
+    return specs

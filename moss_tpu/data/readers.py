@@ -316,14 +316,23 @@ def read_monocap(
     return scene, specs
 
 
+def _read_dna(*a, **kw):
+    from .dna import read_dna_rendering
+
+    return read_dna_rendering(*a, **kw)
+
+
 READERS = {
     "zju_mocap_refine": read_zju_mocap_refine,
     "monocap": read_monocap,
+    "dna_rendering": _read_dna,
 }
 
 
 def detect_and_read(path: str, split: str = "train", **kw):
     """Path-pattern dispatch like Scene.__init__ (scene/__init__.py:42-57)."""
+    if path.endswith(".smc") or "dna_rendering" in path.lower():
+        return _read_dna(path, split, **kw)
     if "zju" in path.lower() or "my_" in os.path.basename(os.path.normpath(path)):
         return read_zju_mocap_refine(path, split, **kw)
     if "monocap" in path.lower() or any(

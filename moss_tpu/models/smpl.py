@@ -83,6 +83,55 @@ def load_smpl_pickle(path: str) -> SMPLModel:
     )
 
 
+def load_smplx_npz(path: str, num_betas: int = 10, num_expr: int = 10) -> SMPLModel:
+    """Load an SMPL-X .npz (the reference's smpl_type='smplx' asset,
+    gaussian_model.py:79-82) into the generic body-model struct.
+
+    SMPL-X has 55 joints and stores shape and expression blendshapes in one
+    (V, 3, 400) tensor — columns [:num_betas] are betas, [300:300+num_expr]
+    expressions. The DNA-Rendering reader concatenates betas+expression into
+    'shapes' (dataset_readers.py:806), so the loaded shapedirs follow the same
+    convention and the LBS/deform chain works unchanged with J=55,
+    poses (1, 165) = full_pose.
+    """
+    params = dict(np.load(path, allow_pickle=True))
+    sd = np.asarray(params["shapedirs"], np.float32)
+    if sd.shape[-1] >= 300 + num_expr:
+        shapedirs = np.concatenate(
+            [sd[..., :num_betas], sd[..., 300:300 + num_expr]], axis=-1
+        )
+    else:
+        shapedirs = sd[..., : num_betas + num_expr]
+    parents_row = np.asarray(params["kintree_table"])[0].astype(np.int64)
+    parents = (-1,) + tuple(int(p) for p in parents_row[1:])
+    return SMPLModel(
+        v_template=jnp.asarray(np.asarray(params["v_template"]), jnp.float32),
+        shapedirs=jnp.asarray(shapedirs),
+        posedirs=jnp.asarray(np.asarray(params["posedirs"]), jnp.float32),
+        J_regressor=jnp.asarray(np.asarray(params["J_regressor"]), jnp.float32),
+        weights=jnp.asarray(np.asarray(params["weights"]), jnp.float32),
+        faces=jnp.asarray(np.asarray(params["f"]).astype(np.int64), jnp.int32),
+        parents=parents,
+    )
+
+
+def big_pose_params_smplx(n_shapes: int = 20):
+    """Canonical big pose for SMPL-X (dataset_readers.py:769-785): the same
+    four body_pose angles; full_pose layout [global 3 | body 63 | jaw 3 |
+    leye 3 | reye 3 | lhand 45 | rhand 45] = 165."""
+    poses = np.zeros((1, 165), np.float32)
+    poses[0, 3 + 2] = np.deg2rad(45.0)
+    poses[0, 3 + 5] = np.deg2rad(-45.0)
+    poses[0, 3 + 20] = np.deg2rad(-30.0)
+    poses[0, 3 + 23] = np.deg2rad(30.0)
+    return {
+        "poses": jnp.asarray(poses),
+        "shapes": jnp.zeros((1, n_shapes), jnp.float32),
+        "R": jnp.eye(3, dtype=jnp.float32),
+        "Th": jnp.zeros((1, 3), jnp.float32),
+    }
+
+
 def synthetic_smpl(
     n_verts: int = NUM_VERTS, n_shapes: int = 10, seed: int = 3407
 ) -> SMPLModel:

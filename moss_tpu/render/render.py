@@ -56,6 +56,7 @@ def render_frame(
     cached_transforms=None,
     cached_translation=None,
     motion_offset: bool = True,
+    static_scene: bool = False,
 ):
     """Render one frame.
 
@@ -73,7 +74,11 @@ def render_frame(
     transforms = cached_transforms
     translation = cached_translation
 
-    if not motion_offset:
+    if static_scene:
+        # vanilla-3DGS path (COLMAP/Blender scenes): no body, no deformation
+        means3d = means_canonical
+        transforms = None
+    elif not motion_offset:
         out = coarse_deform_c2source(
             scene.smpl, means_canonical, smpl_params,
             scene.big_pose_params, scene.big_pose_vertices,
