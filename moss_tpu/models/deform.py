@@ -31,6 +31,31 @@ from ..ops.transforms import rodrigues
 from .smpl import SMPLModel, transform_params
 
 
+def inv3x3(M, eps: float = 1e-12):
+    """Closed-form batched 3x3 inverse (adjugate / det).
+
+    jnp.linalg.inv on (N,3,3) lowers to a batched LU loop on TPU — tens of ms
+    for the 46k blended frames here; the adjugate is a handful of fused VPU
+    ops and differentiates cleanly."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > eps, det, eps)
+    adj = jnp.stack(
+        [
+            A, -(b * i - c * h), (b * f - c * e),
+            B, (a * i - c * g), -(a * f - c * d),
+            C, -(a * h - b * g), (a * e - b * d),
+        ],
+        axis=-1,
+    ).reshape(*M.shape[:-2], 3, 3)
+    return adj * inv_det[..., None, None]
+
+
 class DeformOut(NamedTuple):
     smpl_pts: jnp.ndarray      # (N, 3) posed points in SMPL space
     world_pts: jnp.ndarray     # (N, 3) posed points in world space
@@ -65,7 +90,7 @@ def coarse_deform_c2source(
     A_big, _R, _Th, _joints, big_rot_mats = transform_params(model, t_params)
     A = jnp.einsum("nj,jxy->nxy", bweights, A_big[0])  # (N, 4, 4)
     pts = query_pts - A[:, :3, 3]
-    R_inv = jnp.linalg.inv(A[:, :3, :3])
+    R_inv = inv3x3(A[:, :3, :3])
     pts = jnp.einsum("nxy,ny->nx", R_inv, pts)
     transforms = R_inv
     translation = -A[:, :3, 3]
@@ -106,7 +131,7 @@ def coarse_deform_c2source(
     # 5. SMPL space -> world  (gaussian_model.py:915-921)
     R_glob = R_glob.reshape(3, 3)
     Th = Th.reshape(1, 3)
-    R_glob_inv = jnp.linalg.inv(R_glob)
+    R_glob_inv = inv3x3(R_glob)
     world_pts = smpl_pts @ R_glob_inv + Th
     transforms = R_glob[None] @ transforms
     translation = translation @ R_glob_inv + Th
