@@ -10,6 +10,7 @@ sequences compiled programs.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 import time
 from typing import Callable, Dict, List, Optional
@@ -87,6 +88,37 @@ class Trainer:
         )
         self.ts = TrainState(p, init_fn(p), gstate, jnp.asarray(0, jnp.int32))
         self.metrics_history: List[Dict] = []
+        self._eval_fn = self._build_eval_fn()
+
+    def _build_eval_fn(self):
+        """One jitted program per eval frame: render + clamp + metrics.
+        (Eager per-op dispatch here costs seconds/frame over a remote link.)"""
+        from ..ops.ssim import psnr as psnr_fn, ssim as ssim_fn
+        from ..ops import lpips_jax
+
+        bg = jnp.ones(3) if self.cfg.model.white_background else jnp.zeros(3)
+        lp = self.lpips_params
+
+        @functools.partial(jax.jit, static_argnames=("sh_degree",))
+        def eval_fn(params, valid, frame, sh_degree):
+            out = render_frame(
+                params["gauss"], valid, params.get("mlps"), self.scene,
+                frame.smpl_params, frame.camera, bg, sh_degree,
+                rasterize_fn=self.rasterize_fn,
+                motion_offset=self.cfg.model.motion_offset,
+            )
+            img = jnp.clip(out["render"], 0.0, 1.0)
+            gt = jnp.clip(frame.image, 0.0, 1.0)
+            return {
+                "render": out["render"],
+                "transforms": out["transforms"],
+                "translation": out["translation"],
+                "psnr": psnr_fn(img, gt),
+                "ssim": ssim_fn(img, gt),
+                "lpips": lpips_jax.lpips(lp, img, gt),
+            }
+
+        return eval_fn
 
     # ------------------------------------------------------------------
     def _host_boundaries(self, iters: int, eval_iters) -> List[int]:
@@ -204,15 +236,13 @@ class Trainer:
         frames = frames if frames is not None else self.test_frames
         deg = active_sh_degree(int(self.ts.step), self.cfg.model.sh_degree)
         vals = {"psnr": 0.0, "ssim": 0.0, "lpips": 0.0}
-        for frame in frames:
-            out = self.render_eval(frame, deg)
-            img = jnp.clip(out["render"], 0.0, 1.0)
-            gt = jnp.clip(frame.image, 0.0, 1.0)
-            vals["psnr"] += float(psnr_fn(img, gt))
-            vals["ssim"] += float(ssim_fn(img, gt))
-            vals["lpips"] += float(
-                lpips_jax.lpips(self.lpips_params, img, gt)
-            )
+        outs = [
+            self._eval_fn(self.ts.params, self.ts.gstate.valid, frame, deg)
+            for frame in frames
+        ]
+        for out in outs:
+            for k in vals:
+                vals[k] += float(out[k])
         n = max(len(frames), 1)
         return {k: v / n for k, v in vals.items()}
 

@@ -7,6 +7,7 @@ is imported anywhere.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["MOSS_PALLAS_INTERPRET"] = "1"  # Pallas kernels run interpreted on CPU
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
