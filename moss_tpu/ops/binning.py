@@ -25,6 +25,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def tile_rect(mean2d, radius, grid_h: int, grid_w: int, tile_h: int, tile_w: int):
@@ -158,6 +159,171 @@ class AlignedBinning(NamedTuple):
     tile_count: jnp.ndarray
     num_pairs: jnp.ndarray
     overflow: jnp.ndarray
+
+
+class PairLayout(NamedTuple):
+    """Kernel-ready aligned pair layout from the fused fast path.
+
+    rows: (NP2, 16) f32 — geometry rows in aligned order, tile-LOCAL means in
+      cols 0:2, kernel column layout (see rasterize_tpu GEOM_COLS); dead rows
+      zeroed (gradient barrier included).
+    pair_valid: (NP2,) bool; tile_start/tile_count as in AlignedBinning.
+    num_pairs / overflow: live-pair count and dropped-pair count for logging.
+    """
+
+    rows: jnp.ndarray
+    pair_valid: jnp.ndarray
+    tile_start: jnp.ndarray
+    tile_count: jnp.ndarray
+    num_pairs: jnp.ndarray
+    overflow: jnp.ndarray
+
+
+def build_pair_rows(
+    mean2d,
+    conic,
+    opacity,
+    color,
+    depth,
+    radius,
+    valid,
+    height: int,
+    width: int,
+    tile_h: int,
+    tile_w: int,
+    max_tiles_per_gaussian: int = 16,
+    pair_budget: int = 0,
+    align: int = 128,
+) -> PairLayout:
+    """Fused binning + aligned geometry-row build (the fast path).
+
+    Replaces bin_gaussians + align_binning + the row gather with the same
+    semantics but a TPU-friendlier dataflow (measured 11.5 ms -> ~3 ms at
+    512x512/46k):
+
+      * ONE single-operand int32 sort of packed (tile << KB | depth-rank) keys
+        instead of a 3-operand sort (2x faster; the reference's 64-bit
+        tile|depth radix key, rasterizer_impl.cu:70-111, packs the same way);
+      * geometry gathered as 64-byte-aligned (P, 16) rows — row gathers at
+        this width vectorize ~10x better than (P, 10);
+      * the aligned re-layout is a *sliced* gather: every aligned block of
+        `align` pairs is one contiguous run of the tile-sorted pair list, so
+        a vmapped dynamic_slice moves whole blocks (no per-element gather).
+
+    All downstream semantics (depth order within tile, budget drop + overflow
+    count, gradient barrier on dead rows) match the slow path exactly.
+    """
+    P = mean2d.shape[0]
+    grid_h = -(-height // tile_h)
+    grid_w = -(-width // tile_w)
+    num_tiles = grid_h * grid_w
+    B = max_tiles_per_gaussian
+
+    # rank bits: depth rank < P
+    KB = max(int(np.ceil(np.log2(max(P, 2)))), 1)
+    assert (num_tiles + 1) < (1 << (31 - KB)), (
+        f"packed key overflow: {num_tiles} tiles with {KB} rank bits"
+    )
+
+    # 1. depth order
+    sort_depth = jnp.where(valid, depth, jnp.inf)
+    order = jnp.argsort(sort_depth).astype(jnp.int32)  # (P,)
+
+    # 2. tile rects in depth order
+    min_y, min_x, max_y, max_x = tile_rect(
+        mean2d, radius, grid_h, grid_w, tile_h, tile_w
+    )
+    min_y, min_x = min_y[order], min_x[order]
+    max_y, max_x = max_y[order], max_x[order]
+    v_sorted = valid[order]
+    n_x = max_x - min_x
+    n_tiles = n_x * (max_y - min_y)
+    rect_overflow = jnp.sum(jnp.where(v_sorted, jnp.maximum(n_tiles - B, 0), 0))
+
+    # 3. packed keys, one sort
+    slot = jnp.arange(B, dtype=jnp.int32)[None, :]
+    n_x_safe = jnp.maximum(n_x, 1)[:, None]
+    ty = min_y[:, None] + slot // n_x_safe
+    tx = min_x[:, None] + slot % n_x_safe
+    pair_live = v_sorted[:, None] & (slot < jnp.minimum(n_tiles, B)[:, None])
+    tile_id = jnp.where(pair_live, ty * grid_w + tx, num_tiles)
+    rank = jax.lax.broadcasted_iota(jnp.int32, (P, B), 0)
+    key = (tile_id.astype(jnp.int32) << KB) | rank
+    key_sorted = jax.lax.sort(key.reshape(-1))  # (P*B,)
+    total_live = jnp.searchsorted(
+        key_sorted, jnp.int32(num_tiles << KB), side="left"
+    ).astype(jnp.int32)
+
+    # 4. budget truncation (static shape NPb)
+    NP_all = P * B
+    if pair_budget == 0:
+        pair_budget = 6 * P + 32 * num_tiles
+    NPb = min(((pair_budget + align - 1) // align) * align, NP_all)
+    keys_b = key_sorted[:NPb]
+
+    # 5. per-tile ranges on packed keys directly
+    tiles = jnp.arange(num_tiles, dtype=jnp.int32)
+    t_start = jnp.searchsorted(keys_b, tiles << KB, side="left").astype(jnp.int32)
+    t_end = jnp.searchsorted(keys_b, (tiles + 1) << KB, side="left").astype(jnp.int32)
+    tile_count = t_end - t_start
+    budget_overflow = total_live - jnp.sum(tile_count)
+
+    # 6. aligned layout: every aligned block of `align` pairs is one
+    # contiguous run of the tile-sorted pair list, so per-pair source indices
+    # are pure block-granular dense math (no scatter, no big searchsorted —
+    # both lower pathologically on TPU, PERF.md).
+    padded_counts = ((tile_count + align - 1) // align) * align
+    astart = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_counts).astype(jnp.int32)]
+    )
+    NP2 = ((NPb + align * num_tiles + align - 1) // align) * align
+    nb = NP2 // align
+    blocks = jnp.arange(nb, dtype=jnp.int32)
+    astart_b = astart // align
+    tob = jnp.clip(
+        jnp.searchsorted(astart_b[1:], blocks, side="right").astype(jnp.int32),
+        0, num_tiles - 1,
+    )
+    in_tail_b = blocks >= astart_b[num_tiles]
+    block_off = blocks * align - astart[tob]          # offset of block in its tile
+    lane = jnp.arange(align, dtype=jnp.int32)[None, :]
+    off = block_off[:, None] + lane                   # (nb, align)
+    in_range = (~in_tail_b[:, None]) & (off < tile_count[tob][:, None])
+    in_range = in_range.reshape(NP2)
+    src_idx = jnp.clip(t_start[tob][:, None] + off, 0, NPb - 1).reshape(NP2)
+
+    # 7. geometry: ONE small int gather (depth ranks at aligned positions)
+    # + ONE 64-byte row gather from the (P, 16) table. The row gather's VJP
+    # is a deterministic scatter-add into the small (P, 16) table — measured
+    # ~0.8 ms, vs ~8 ms for scatters into pair-sized tables.
+    k_rank = keys_b & ((1 << KB) - 1)  # depth rank of each tile-sorted pair
+    k_aligned = jnp.minimum(k_rank[src_idx], P - 1)   # (NP2,) int gather
+    zeros6 = jnp.zeros((P, 16 - 10), mean2d.dtype)
+    src16 = jnp.concatenate(
+        [mean2d, conic, opacity[:, None], color, depth[:, None], zeros6], axis=1
+    )
+    src_depth = src16[order]          # (P, 16) rows in depth order
+    rows = src_depth[k_aligned]       # (NP2, 16)
+
+    # 8. tile-local means + validity column + gradient barrier
+    ox = ((tob % grid_w) * tile_w).astype(rows.dtype)
+    oy = ((tob // grid_w) * tile_h).astype(rows.dtype)
+    shift = jnp.stack([ox, oy], axis=1)[:, None, :]   # (nb, 1, 2)
+    local01 = (rows[:, 0:2].reshape(nb, align, 2) - shift).reshape(NP2, 2)
+    vcol = in_range.astype(rows.dtype)[:, None]
+    rows = jnp.concatenate(
+        [local01, rows[:, 2:10], vcol, rows[:, 11:16]], axis=1
+    )
+    rows = jnp.where(in_range[:, None], rows, 0.0)
+
+    return PairLayout(
+        rows=rows,
+        pair_valid=in_range,
+        tile_start=astart[:num_tiles],
+        tile_count=tile_count,
+        num_pairs=total_live - budget_overflow,
+        overflow=rect_overflow + budget_overflow,
+    )
 
 
 def align_binning(

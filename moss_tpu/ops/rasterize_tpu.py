@@ -48,7 +48,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .binning import align_binning, bin_gaussians
+from .binning import align_binning, bin_gaussians, build_pair_rows
 from .projection import Projected
 
 # interpreter mode lets the CPU test suite run the very same kernels
@@ -144,27 +144,41 @@ def _fwd_kernel(gw: int, start_ref, count_ref, geom_hbm,
     rowid = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1, 1), 0)
 
     def body(c, carry):
-        T_log, done, acc_r, acc_g, acc_b, acc_d, acc_a = carry
+        stop = carry[-1]
         slot = jax.lax.rem(c, 2)
 
+        # DMAs run unconditionally (cheap; ~20 MB/frame total) so the
+        # issue/wait pairing stays trivially consistent; only the VPU work is
+        # skipped once every pixel in the tile has terminated (the reference
+        # kernel's per-thread `done` voting, forward.cu:314-316, becomes this
+        # whole-tile early exit — contributions past saturation are exactly 0).
         @pl.when(c + 1 < n_chunks)
         def _():
             get_dma(1 - slot, c + 1).start()
 
         get_dma(slot, c).wait()
-        g = jnp.transpose(scratch[slot], (1, 0))  # (CHUNK, 16)
-        rowmask = rowid < (count - c * CHUNK)
-        _al, _lg, _cum, _ct, w, T_log, done = _chunk_blend(g, rowmask, T_log, done)
-        acc_r = acc_r + jnp.sum(w * _col(g, 6), axis=0, keepdims=True)
-        acc_g = acc_g + jnp.sum(w * _col(g, 7), axis=0, keepdims=True)
-        acc_b = acc_b + jnp.sum(w * _col(g, 8), axis=0, keepdims=True)
-        acc_d = acc_d + jnp.sum(w * _col(g, 9), axis=0, keepdims=True)
-        acc_a = acc_a + jnp.sum(w, axis=0, keepdims=True)
-        return T_log, done, acc_r, acc_g, acc_b, acc_d, acc_a
+
+        def live(carry):
+            T_log, done, acc_r, acc_g, acc_b, acc_d, acc_a, _ = carry
+            g = jnp.transpose(scratch[slot], (1, 0))  # (CHUNK, 16)
+            rowmask = rowid < (count - c * CHUNK)
+            _al, _lg, _cum, _ct, w, T_log, done = _chunk_blend(
+                g, rowmask, T_log, done
+            )
+            acc_r = acc_r + jnp.sum(w * _col(g, 6), axis=0, keepdims=True)
+            acc_g = acc_g + jnp.sum(w * _col(g, 7), axis=0, keepdims=True)
+            acc_b = acc_b + jnp.sum(w * _col(g, 8), axis=0, keepdims=True)
+            acc_d = acc_d + jnp.sum(w * _col(g, 9), axis=0, keepdims=True)
+            acc_a = acc_a + jnp.sum(w, axis=0, keepdims=True)
+            stop = (jnp.min(done) > 0.5).astype(jnp.int32)
+            return T_log, done, acc_r, acc_g, acc_b, acc_d, acc_a, stop
+
+        return jax.lax.cond(stop == 0, live, lambda carry: carry, carry)
 
     zero = jnp.zeros((1, TILE_H, TILE_W), jnp.float32)
-    T_log, done, ar, ag, ab_, ad, aa = jax.lax.fori_loop(
-        0, n_chunks, body, (zero, zero, zero, zero, zero, zero, zero)
+    T_log, done, ar, ag, ab_, ad, aa, _stop = jax.lax.fori_loop(
+        0, n_chunks, body,
+        (zero, zero, zero, zero, zero, zero, zero, jnp.int32(0)),
     )
     r_ref[:] = ar[0]
     g_ref[:] = ag[0]
@@ -207,7 +221,7 @@ def _bwd_kernel(gw: int, start_ref, count_ref, geom_hbm, gimg_ref, grad_hbm,
     tail = gimg[7:8]             # g_Tfinal * T_final
 
     def body(c, carry):
-        T_log, done, prefix = carry
+        stop0 = carry[-1]
         slot = jax.lax.rem(c, 2)
 
         @pl.when(c + 1 < n_chunks)
@@ -215,52 +229,63 @@ def _bwd_kernel(gw: int, start_ref, count_ref, geom_hbm, gimg_ref, grad_hbm,
             get_dma(1 - slot, c + 1).start()
 
         get_dma(slot, c).wait()
-        g = jnp.transpose(scratch[slot], (1, 0))  # (CHUNK, 16)
-        rowmask = rowid < (count - c * CHUNK)
-        alpha, lg, cum, contrib, w, T_log_out, done_out = _chunk_blend(
-            g, rowmask, T_log, done
-        )
-        dLdw = (
-            _col(g, 6) * g_r + _col(g, 7) * g_g + _col(g, 8) * g_b
-            + _col(g, 9) * g_d + g_a
-        )  # (CHUNK, TILE_H, TILE_W)
-        q = w * dLdw
-        prefix_incl = prefix + _cumsum_splats(q)
-        s_after = Qtot - prefix_incl
-        T_before = jnp.exp(cum - lg)
-        dalpha = jnp.where(
-            contrib, dLdw * T_before - (s_after + tail) / (1.0 - alpha), 0.0
-        )
-        dpower = dalpha * alpha * (alpha < ALPHA_MAX).astype(jnp.float32)
 
-        px, py = _pixel_coords()
-        dx = _col(g, 0) - px
-        dy = _col(g, 1) - py
-        a, b, cc = _col(g, 2), _col(g, 3), _col(g, 4)
+        def live(carry):
+            T_log, done, prefix, _ = carry
+            g = jnp.transpose(scratch[slot], (1, 0))  # (CHUNK, 16)
+            rowmask = rowid < (count - c * CHUNK)
+            alpha, lg, cum, contrib, w, T_log_out, done_out = _chunk_blend(
+                g, rowmask, T_log, done
+            )
+            dLdw = (
+                _col(g, 6) * g_r + _col(g, 7) * g_g + _col(g, 8) * g_b
+                + _col(g, 9) * g_d + g_a
+            )  # (CHUNK, TILE_H, TILE_W)
+            q = w * dLdw
+            prefix_incl = prefix + _cumsum_splats(q)
+            s_after = Qtot - prefix_incl
+            T_before = jnp.exp(cum - lg)
+            dalpha = jnp.where(
+                contrib, dLdw * T_before - (s_after + tail) / (1.0 - alpha), 0.0
+            )
+            dpower = dalpha * alpha * (alpha < ALPHA_MAX).astype(jnp.float32)
 
-        def red(x):  # (CHUNK, TILE_H, TILE_W) -> (CHUNK, 1), no 1-D intermediates
-            s = jnp.sum(jnp.sum(x, axis=2, keepdims=True), axis=1, keepdims=True)
-            return s[:, :, 0]
+            px, py = _pixel_coords()
+            dx = _col(g, 0) - px
+            dy = _col(g, 1) - py
+            a, b, cc = _col(g, 2), _col(g, 3), _col(g, 4)
 
-        da = red(dpower * (-0.5 * dx * dx))
-        dc = red(dpower * (-0.5 * dy * dy))
-        db = red(dpower * (-dx * dy))
-        dmx = red(dpower * (-(a * dx + b * dy)))
-        dmy = red(dpower * (-(cc * dy + b * dx)))
-        op = jnp.maximum(g[:, 5:6], 1e-12)
-        dop = red(dpower) / op
-        dr = red(w * g_r)
-        dg = red(w * g_g)
-        dbl = red(w * g_b)
-        dd = red(w * g_d)
-        zeros = jnp.zeros_like(da)
-        grad_rows = jnp.concatenate(
-            [dmx, dmy, da, db, dc, dop, dr, dg, dbl, dd,
-             zeros, zeros, zeros, zeros, zeros, zeros],
-            axis=1,
-        )  # (CHUNK, 16)
-        rm2 = rowid.reshape(CHUNK, 1) < (count - c * CHUNK)
-        grad_rows = jnp.where(rm2, grad_rows, 0.0)
+            def red(x):  # (CHUNK, H, W) -> (CHUNK, 1), no 1-D intermediates
+                s = jnp.sum(jnp.sum(x, axis=2, keepdims=True), axis=1, keepdims=True)
+                return s[:, :, 0]
+
+            da = red(dpower * (-0.5 * dx * dx))
+            dc = red(dpower * (-0.5 * dy * dy))
+            db = red(dpower * (-dx * dy))
+            dmx = red(dpower * (-(a * dx + b * dy)))
+            dmy = red(dpower * (-(cc * dy + b * dx)))
+            op = jnp.maximum(g[:, 5:6], 1e-12)
+            dop = red(dpower) / op
+            dr = red(w * g_r)
+            dg = red(w * g_g)
+            dbl = red(w * g_b)
+            dd = red(w * g_d)
+            zeros = jnp.zeros_like(da)
+            grad_rows = jnp.concatenate(
+                [dmx, dmy, da, db, dc, dop, dr, dg, dbl, dd,
+                 zeros, zeros, zeros, zeros, zeros, zeros],
+                axis=1,
+            )  # (CHUNK, 16)
+            rm2 = rowid.reshape(CHUNK, 1) < (count - c * CHUNK)
+            grad_rows = jnp.where(rm2, grad_rows, 0.0)
+            prefix_out = prefix + jnp.sum(q, axis=0, keepdims=True)
+            stop = (jnp.min(done_out) > 0.5).astype(jnp.int32)
+            return (T_log_out, done_out, prefix_out, stop), grad_rows
+
+        def dead(carry):
+            return carry, jnp.zeros((CHUNK, GEOM_COLS), jnp.float32)
+
+        carry, grad_rows = jax.lax.cond(stop0 == 0, live, dead, carry)
 
         @pl.when(c >= 2)
         def _():
@@ -268,12 +293,10 @@ def _bwd_kernel(gw: int, start_ref, count_ref, geom_hbm, gimg_ref, grad_hbm,
 
         out_scratch[slot] = jnp.transpose(grad_rows, (1, 0))  # (16, CHUNK)
         put_dma(slot, c).start()
-
-        prefix_out = prefix + jnp.sum(q, axis=0, keepdims=True)
-        return T_log_out, done_out, prefix_out
+        return carry
 
     zero = jnp.zeros((1, TILE_H, TILE_W), jnp.float32)
-    jax.lax.fori_loop(0, n_chunks, body, (zero, zero, zero))
+    jax.lax.fori_loop(0, n_chunks, body, (zero, zero, zero, jnp.int32(0)))
 
     @pl.when(n_chunks >= 2)
     def _():
@@ -384,57 +407,25 @@ def _build_pairs(proj: Projected, height, width, max_tiles_per_gaussian,
                  pair_budget: int = 0):
     grid_h = -(-height // TILE_H)
     grid_w = -(-width // TILE_W)
-    num_tiles = grid_h * grid_w
-    b = bin_gaussians(
-        proj.mean2d, proj.depth, proj.radius, proj.valid,
+    pl_ = build_pair_rows(
+        proj.mean2d, proj.conic, proj.opacity, proj.color, proj.depth,
+        proj.radius, proj.valid,
         height, width, TILE_H, TILE_W, max_tiles_per_gaussian,
+        pair_budget=pair_budget, align=CHUNK,
     )
-    if pair_budget == 0:
-        # heuristic: live pairs are a small multiple of P plus per-tile padding
-        pair_budget = 6 * proj.mean2d.shape[0] + 32 * num_tiles
-    ab = align_binning(b, num_tiles, pair_budget=pair_budget)
-    NP2 = ab.pair_gaussian.shape[0]
-
-    gid = ab.pair_gaussian
-    tile_of_pair = ab.pair_tile
-    ox = ((tile_of_pair % grid_w) * TILE_W).astype(proj.mean2d.dtype)
-    oy = ((tile_of_pair // grid_w) * TILE_H).astype(proj.mean2d.dtype)
-
-    # ONE contiguous row-gather (per-field gathers cost ~10 ms/frame on TPU;
-    # 64-byte row gathers vectorize ~an order of magnitude better), then the
-    # tile-local shift and the valid column are appended as dense ops.
-    src = jnp.concatenate(
-        [
-            proj.mean2d,                    # 0:2
-            proj.conic,                     # 2:5
-            proj.opacity[:, None],          # 5
-            proj.color,                     # 6:9
-            proj.depth[:, None],            # 9
-        ],
-        axis=1,
-    )  # (P, 10)
-    rows = src[gid]  # (NP2, 10)
-    valid_f = ab.pair_valid.astype(rows.dtype)
-    geom = jnp.concatenate(
-        [
-            (rows[:, 0] - ox)[:, None],
-            (rows[:, 1] - oy)[:, None],
-            rows[:, 2:10],
-            valid_f[:, None],
-            jnp.zeros((NP2, GEOM_COLS - 11), rows.dtype),
-        ],
-        axis=1,
-    ).T  # (16, NP2) transposed pair buffer
-    # gradient barrier: dead columns (incl. any uninitialized guard-tail grads
-    # from the backward kernel) must not back-propagate into Gaussian 0.
-    geom = jnp.where(ab.pair_valid[None, :], geom, 0.0)
+    # (16, NP2) transposed pair buffer: the kernels DMA (16, CHUNK) column
+    # blocks at 128-aligned lane offsets (a Mosaic requirement; row-major
+    # (CHUNK, 16) VMEM slices violate the 128-lane tiling). The transpose is
+    # ~0.3 ms/frame; build_pair_rows already applied local coords, validity
+    # column, and the dead-row gradient barrier.
+    geom = pl_.rows.T
     return _TileGeometry(
         geom=geom,
-        pair_gaussian=gid,
-        pair_valid=ab.pair_valid,
-        tile_start=ab.tile_start,
-        tile_count=ab.tile_count,
-        overflow=ab.overflow,
+        pair_gaussian=None,
+        pair_valid=pl_.pair_valid,
+        tile_start=pl_.tile_start,
+        tile_count=pl_.tile_count,
+        overflow=pl_.overflow,
     ), grid_h, grid_w
 
 
