@@ -38,6 +38,12 @@ class Projected(NamedTuple):
     color: jnp.ndarray     # (P, C) per-view RGB (SH already evaluated) or features
     opacity: jnp.ndarray   # (P,) sigmoid-activated opacity
     valid: jnp.ndarray     # (P,) bool: survives culling
+    # (P, 2) optional tighter per-axis AABB extents (x, y) for tile binning.
+    # 3.4*sqrt(diag cov2d), capped by `radius`: pixels beyond 3.4 sigma on
+    # either axis have alpha < 1/255 even at opacity 1, so the blend skips
+    # them — AABB-culled tiles contribute exactly 0 (output-identical to the
+    # reference's square 3*sqrt(lambda_max) rect, just fewer dead pairs).
+    radius_xy: jnp.ndarray = None
 
 
 def ndc2pix(v, size):
@@ -139,6 +145,10 @@ def preprocess(
     if valid_mask is not None:
         valid = valid & valid_mask
     radius = jnp.where(valid, radius, 0.0).astype(jnp.int32)
+    # AABB extents: exp(-0.5 * 3.4^2) = 3.1e-3 < 1/255, so the per-axis 3.4
+    # sigma box encloses every pixel the blend can accept (see Projected).
+    ext = jnp.ceil(3.4 * jnp.sqrt(jnp.maximum(cov2d[..., (0, 2)], 0.0)))
+    radius_xy = jnp.minimum(ext, radius[:, None].astype(ext.dtype)).astype(jnp.int32)
     return Projected(
         mean2d=mean2d,
         depth=depth,
@@ -147,4 +157,5 @@ def preprocess(
         color=color,
         opacity=opacity,
         valid=valid & (radius > 0),
+        radius_xy=radius_xy,
     )

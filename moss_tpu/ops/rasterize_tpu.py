@@ -111,7 +111,9 @@ def _chunk_blend(g, rowmask, T_log, done):
     power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
     op = _col(g, 5)
     alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
-    m = rowmask & (_col(g, 10) > 0.5) & (power <= 0.0) & (alpha >= ALPHA_MIN)
+    # no valid-column test: all rows < count are live pairs by construction
+    # (build_pair_rows), and zeroed pad rows give alpha = 0 < ALPHA_MIN.
+    m = rowmask & (power <= 0.0) & (alpha >= ALPHA_MIN)
     lg = jnp.where(m, jnp.log1p(-alpha), 0.0)
     cum = T_log + _cumsum_splats(lg)  # inclusive candidate log-transmittance
     fired = (cum < LOG_T_EPS) | (done > 0.5)
@@ -253,23 +255,33 @@ def _bwd_kernel(gw: int, start_ref, count_ref, geom_hbm, gimg_ref, grad_hbm,
             px, py = _pixel_coords()
             dx = _col(g, 0) - px
             dy = _col(g, 1) - py
-            a, b, cc = _col(g, 2), _col(g, 3), _col(g, 4)
+            a2, b2, c2 = g[:, 2:3], g[:, 3:4], g[:, 4:5]  # (CHUNK, 1)
 
-            def red(x):  # (CHUNK, H, W) -> (CHUNK, 1), no 1-D intermediates
-                s = jnp.sum(jnp.sum(x, axis=2, keepdims=True), axis=1, keepdims=True)
-                return s[:, :, 0]
+            # Two-stage reductions, sublane axis first: the (CHUNK, TILE_W)
+            # intermediates pack 8x denser than (CHUNK, TILE_H, TILE_W), so
+            # the lane-reduction tree runs on 16 vregs instead of 128.
+            # fdx/fdy products are shared across the five conic/mean moments.
+            def ssum(x):  # (CHUNK, H, W) -> (CHUNK, W)
+                return jnp.sum(x, axis=1)
 
-            da = red(dpower * (-0.5 * dx * dx))
-            dc = red(dpower * (-0.5 * dy * dy))
-            db = red(dpower * (-dx * dy))
-            dmx = red(dpower * (-(a * dx + b * dy)))
-            dmy = red(dpower * (-(cc * dy + b * dx)))
+            def ls(x2):   # (CHUNK, W) -> (CHUNK, 1)
+                return jnp.sum(x2, axis=1, keepdims=True)
+
+            fdx = dpower * dx
+            fdy = dpower * dy
+            sfx = ls(ssum(fdx))
+            sfy = ls(ssum(fdy))
+            da = -0.5 * ls(ssum(fdx * dx))
+            dc = -0.5 * ls(ssum(fdy * dy))
+            db = -ls(ssum(fdx * dy))
+            dmx = -(a2 * sfx + b2 * sfy)
+            dmy = -(c2 * sfy + b2 * sfx)
             op = jnp.maximum(g[:, 5:6], 1e-12)
-            dop = red(dpower) / op
-            dr = red(w * g_r)
-            dg = red(w * g_g)
-            dbl = red(w * g_b)
-            dd = red(w * g_d)
+            dop = ls(ssum(dpower)) / op
+            dr = ls(ssum(w * g_r))
+            dg = ls(ssum(w * g_g))
+            dbl = ls(ssum(w * g_b))
+            dd = ls(ssum(w * g_d))
             zeros = jnp.zeros_like(da)
             grad_rows = jnp.concatenate(
                 [dmx, dmy, da, db, dc, dop, dr, dg, dbl, dd,
@@ -412,6 +424,7 @@ def _build_pairs(proj: Projected, height, width, max_tiles_per_gaussian,
         proj.radius, proj.valid,
         height, width, TILE_H, TILE_W, max_tiles_per_gaussian,
         pair_budget=pair_budget, align=CHUNK,
+        radius_xy=proj.radius_xy,
     )
     # (16, NP2) transposed pair buffer: the kernels DMA (16, CHUNK) column
     # blocks at 128-aligned lane offsets (a Mosaic requirement; row-major
