@@ -77,11 +77,27 @@ def convert_torch_weights(out_path: str):  # pragma: no cover - needs torchvisio
 
     Torch conv weights (O, I, kh, kw) -> HWIO; lpips lin layers are 1x1 convs
     whose (O=1, I=C, 1, 1) weights become the (C,) vectors lin{i}.
-    Run wherever torchvision + lpips are installed; copy the .npz here.
+    Run wherever torchvision + lpips are installed, then copy the .npz here
+    and point MOSS_LPIPS_WEIGHTS at it.
     """
-    raise NotImplementedError(
-        "run on a machine with torchvision+lpips, see docstring"
-    )
+    import lpips as lpips_torch  # type: ignore
+    import torchvision  # type: ignore
+
+    vgg = torchvision.models.vgg16(weights="IMAGENET1K_V1").features
+    net = lpips_torch.LPIPS(net="vgg")
+    out: Dict[str, np.ndarray] = {}
+    # vgg16.features conv indices per stage (conv layers only, pools between)
+    conv_idx = [[0, 2], [5, 7], [10, 12, 14], [17, 19, 21], [24, 26, 28]]
+    for i, idxs in enumerate(conv_idx):
+        for j, li in enumerate(idxs):
+            w = vgg[li].weight.detach().numpy()  # (O, I, kh, kw)
+            out[f"conv{i}_{j}_w"] = np.transpose(w, (2, 3, 1, 0)).astype(np.float32)
+            out[f"conv{i}_{j}_b"] = vgg[li].bias.detach().numpy().astype(np.float32)
+    for i in range(5):
+        lin = getattr(net, f"lin{i}").model[-1].weight.detach().numpy()  # (1,C,1,1)
+        out[f"lin{i}"] = lin.reshape(-1).astype(np.float32)
+    np.savez(out_path, **out)
+    return out_path
 
 
 def _conv(p, x):

@@ -91,3 +91,89 @@ class TestBinning:
         valid = jnp.array([True])
         b = bin_gaussians(mean2d, depth, radius, valid, H, W, 32, 32, max_tiles_per_gaussian=2)
         assert int(b.overflow) == 2  # 4 tiles - budget 2
+
+
+class TestAABBCulling:
+    """AABB-tightened binning (tile_rect_aabb) must be output-exact: every
+    pair it drops relative to the reference rect is sub-threshold
+    (alpha < 1/255) at every pixel of the dropped tile."""
+
+    def test_aabb_drops_only_subthreshold_pairs(self):
+        import jax.numpy as jnp
+        from moss_tpu.ops.binning import tile_rect, tile_rect_aabb
+
+        rng = np.random.default_rng(11)
+        P, H, W, th, tw = 400, 64, 256, 8, 128
+        gh, gw = H // th, W // tw
+        mean2d = jnp.asarray(rng.uniform(-30, 280, (P, 2)).astype(np.float32))
+        # anisotropic covariances (sigma_x != sigma_y), conic consistent
+        sx = rng.uniform(1.0, 8.0, P).astype(np.float32)
+        sy = rng.uniform(1.0, 8.0, P).astype(np.float32)
+        rho = rng.uniform(-0.6, 0.6, P).astype(np.float32)
+        cxx, cyy = sx * sx, sy * sy
+        cxy = rho * sx * sy
+        det = cxx * cyy - cxy * cxy
+        conic = np.stack([cyy / det, -cxy / det, cxx / det], -1)
+        lam_max = 0.5 * (cxx + cyy) + np.sqrt(0.25 * (cxx - cyy) ** 2 + cxy**2)
+        radius = jnp.asarray(np.ceil(3.0 * np.sqrt(lam_max)).astype(np.int32))
+        rxy = jnp.asarray(
+            np.minimum(np.ceil(3.4 * np.sqrt(np.stack([cxx, cyy], -1))),
+                       np.asarray(radius)[:, None]).astype(np.int32)
+        )
+        r_ref = tile_rect(mean2d, radius, gh, gw, th, tw)
+        r_ab = tile_rect_aabb(mean2d, radius, rxy, gh, gw, th, tw)
+        m2 = np.asarray(mean2d)
+        for i in range(P):
+            ry0, rx0, ry1, rx1 = (int(a[i]) for a in r_ref)
+            ay0, ax0, ay1, ax1 = (int(a[i]) for a in r_ab)
+            # AABB rect is a subset of the reference rect
+            assert ay0 >= ry0 and ax0 >= rx0 and ay1 <= ry1 and ax1 <= rx1
+            # every dropped tile: max alpha over its pixels < 1/255 at op=1
+            a, b, c = conic[i]
+            for ty in range(ry0, ry1):
+                for tx in range(rx0, rx1):
+                    if ay0 <= ty < ay1 and ax0 <= tx < ax1:
+                        continue
+                    ys = np.arange(ty * th, ty * th + th)
+                    xs = np.arange(tx * tw, tx * tw + tw)
+                    dxg, dyg = np.meshgrid(m2[i, 0] - xs, m2[i, 1] - ys)
+                    power = -0.5 * (a * dxg**2 + c * dyg**2) - b * dxg * dyg
+                    amax = np.exp(power.max())
+                    assert amax < 1.0 / 255.0, (i, ty, tx, amax)
+
+    def test_build_pair_rows_aabb_matches_reference_rect_output(self):
+        """Rendered output with AABB binning == reference-rect binning."""
+        import jax.numpy as jnp
+        from moss_tpu.ops import transforms as tf
+        from moss_tpu.ops.projection import preprocess
+        from moss_tpu.ops.rasterize_tpu import rasterize_tpu
+        from moss_tpu.render.camera import Camera
+
+        rng = np.random.default_rng(3)
+        H = W = 64
+        K = np.array([[80.0, 0, W / 2], [0, 80.0, H / 2], [0, 0, 1.0]])
+        cam = Camera.from_KRT(K, np.eye(3), np.zeros(3), H, W)
+        n = 200
+        means = np.stack(
+            [rng.uniform(-0.5, 0.5, n), rng.uniform(-0.5, 0.5, n), rng.uniform(2, 3, n)],
+            -1,
+        ).astype(np.float32)
+        # extreme anisotropy: one axis 20x the other
+        s_maj = rng.uniform(0.08, 0.15, (n, 1)).astype(np.float32)
+        s_min = s_maj * rng.uniform(0.03, 0.1, (n, 1)).astype(np.float32)
+        scales = np.concatenate([s_maj, s_min, s_min], 1)
+        quats = rng.normal(size=(n, 4)).astype(np.float32)
+        cov3d = tf.build_covariance(jnp.asarray(scales), jnp.asarray(quats))
+        proj = preprocess(
+            jnp.asarray(means), cov3d,
+            jnp.asarray(rng.uniform(size=(n, 3)).astype(np.float32)),
+            jnp.asarray(rng.uniform(0.3, 0.95, n).astype(np.float32)), cam,
+        )
+        bg = jnp.zeros(3)
+        out_ab = rasterize_tpu(proj, bg, H, W)
+        out_ref = rasterize_tpu(proj._replace(radius_xy=None), bg, H, W)
+        for f in ("color", "depth", "alpha", "final_T"):
+            np.testing.assert_allclose(
+                np.asarray(out_ab[f]), np.asarray(out_ref[f]), atol=1e-6,
+                err_msg=f,
+            )
