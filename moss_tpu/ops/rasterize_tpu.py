@@ -85,15 +85,41 @@ def _col(g, i):
 
 
 def _cumsum_splats(x):
-    """Inclusive cumsum along the splat (leading) axis via Hillis-Steele rolls."""
-    K = x.shape[0]
-    rowid = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    """Inclusive cumsum along the splat (leading) axis.
+
+    Two-level formulation: Hillis-Steele within groups of S splats (log2 S
+    full-width roll+add+select steps), then a scan over the G group totals at
+    1/S width, then one broadcast add — ~10 full-width ops for K=128 vs 21
+    for the flat log2(K) Hillis-Steele.
+    """
+    K, H, W = x.shape
+    S = 8
+    if K % S or K <= S:
+        rowid = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        s = 1
+        while s < K:
+            shifted = pltpu.roll(x, s, axis=0)
+            x = x + jnp.where(rowid >= s, shifted, 0.0)
+            s *= 2
+        return x
+    G = K // S
+    xg = x.reshape(G, S, H, W)
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (G, S, H, W), 1)
     s = 1
-    while s < K:
-        shifted = pltpu.roll(x, s, axis=0)
-        x = x + jnp.where(rowid >= s, shifted, 0.0)
+    while s < S:
+        shifted = pltpu.roll(xg, s, axis=1)
+        xg = xg + jnp.where(rowid >= s, shifted, 0.0)
         s *= 2
-    return x
+    tot = xg[:, S - 1]  # (G, H, W) inclusive group totals
+    gid = jax.lax.broadcasted_iota(jnp.int32, (G, H, W), 0)
+    s = 1
+    while s < G:
+        shifted = pltpu.roll(tot, s, axis=0)
+        tot = tot + jnp.where(gid >= s, shifted, 0.0)
+        s *= 2
+    # exclusive group offsets: shift totals down one group
+    off = jnp.where(gid >= 1, pltpu.roll(tot, 1, axis=0), 0.0)
+    return (xg + off[:, None]).reshape(K, H, W)
 
 
 def _chunk_blend(g, rowmask, T_log, done):
@@ -118,10 +144,11 @@ def _chunk_blend(g, rowmask, T_log, done):
     cum = T_log + _cumsum_splats(lg)  # inclusive candidate log-transmittance
     fired = (cum < LOG_T_EPS) | (done > 0.5)
     contrib = m & ~fired
-    w = jnp.where(contrib, alpha, 0.0) * jnp.exp(cum - lg)  # alpha * T_before
+    T_before = jnp.exp(cum - lg)
+    w = jnp.where(contrib, alpha, 0.0) * T_before  # alpha * T_before
     T_log_out = T_log + jnp.sum(jnp.where(contrib, lg, 0.0), axis=0, keepdims=True)
     done_out = jnp.maximum(done, fired[-1:].astype(jnp.float32))
-    return alpha, lg, cum, contrib, w, T_log_out, done_out
+    return alpha, lg, cum, contrib, T_before, w, T_log_out, done_out
 
 
 def _fwd_kernel(gw: int, start_ref, count_ref, geom_hbm,
@@ -164,7 +191,7 @@ def _fwd_kernel(gw: int, start_ref, count_ref, geom_hbm,
             T_log, done, acc_r, acc_g, acc_b, acc_d, acc_a, _ = carry
             g = jnp.transpose(scratch[slot], (1, 0))  # (CHUNK, 16)
             rowmask = rowid < (count - c * CHUNK)
-            _al, _lg, _cum, _ct, w, T_log, done = _chunk_blend(
+            _al, _lg, _cum, _ct, _tb, w, T_log, done = _chunk_blend(
                 g, rowmask, T_log, done
             )
             acc_r = acc_r + jnp.sum(w * _col(g, 6), axis=0, keepdims=True)
@@ -236,7 +263,7 @@ def _bwd_kernel(gw: int, start_ref, count_ref, geom_hbm, gimg_ref, grad_hbm,
             T_log, done, prefix, _ = carry
             g = jnp.transpose(scratch[slot], (1, 0))  # (CHUNK, 16)
             rowmask = rowid < (count - c * CHUNK)
-            alpha, lg, cum, contrib, w, T_log_out, done_out = _chunk_blend(
+            alpha, lg, cum, contrib, T_before, w, T_log_out, done_out = _chunk_blend(
                 g, rowmask, T_log, done
             )
             dLdw = (
@@ -246,7 +273,6 @@ def _bwd_kernel(gw: int, start_ref, count_ref, geom_hbm, gimg_ref, grad_hbm,
             q = w * dLdw
             prefix_incl = prefix + _cumsum_splats(q)
             s_after = Qtot - prefix_incl
-            T_before = jnp.exp(cum - lg)
             dalpha = jnp.where(
                 contrib, dLdw * T_before - (s_after + tail) / (1.0 - alpha), 0.0
             )

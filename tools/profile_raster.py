@@ -181,9 +181,137 @@ def substages():
         print(f"{name:12s} {dt*1e3:8.2f} ms")
 
 
+def substages2():
+    """Decompose build_pair_rows (the fast fused path) stage by stage."""
+    import functools
+
+    from moss_tpu.ops import transforms as tf
+    from moss_tpu.ops.projection import preprocess
+    from moss_tpu.ops import rasterize_tpu as rt
+    from moss_tpu.ops import binning
+    from moss_tpu.render.camera import Camera
+
+    H = W = 512
+    P = 46080
+    rng = np.random.default_rng(0)
+    K = np.array([[550.0, 0, W / 2], [0, 550.0, H / 2], [0, 0, 1.0]])
+    cam = Camera.from_KRT(K, np.eye(3), np.zeros(3), H, W)
+    means = np.stack(
+        [rng.uniform(-0.4, 0.4, P), rng.uniform(-0.7, 0.7, P), rng.uniform(1.5, 2.5, P)],
+        -1,
+    ).astype(np.float32)
+    cov3d = tf.build_covariance(
+        jnp.asarray(rng.uniform(0.004, 0.012, (P, 3)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(P, 4)).astype(np.float32)),
+    )
+    proj = preprocess(
+        jnp.asarray(means), cov3d,
+        jnp.asarray(rng.uniform(size=(P, 3)).astype(np.float32)),
+        jnp.asarray(rng.uniform(0.3, 0.95, P).astype(np.float32)),
+        cam,
+    )
+    jnp_ = jnp
+
+    def partial_build(stage):
+        """Re-run build_pair_rows' math up to `stage`, returning a scalar."""
+        tile_h, tile_w, B, align = 8, 128, 16, 128
+        grid_h, grid_w = H // tile_h, W // tile_w
+        num_tiles = grid_h * grid_w
+
+        def f(pr):
+            mean2d, conic, opacity = pr.mean2d, pr.conic, pr.opacity
+            color, depth, radius, valid = pr.color, pr.depth, pr.radius, pr.valid
+            KB = max(int(np.ceil(np.log2(max(P, 2)))), 1)
+            sort_depth = jnp_.where(valid, depth, jnp_.inf)
+            order = jnp_.argsort(sort_depth).astype(jnp_.int32)
+            inv_order = jnp_.argsort(order).astype(jnp_.int32)
+            if stage == "argsorts":
+                return jnp_.sum(order) + jnp_.sum(inv_order)
+            min_y, min_x, max_y, max_x = binning.tile_rect_aabb(
+                mean2d, radius, pr.radius_xy, grid_h, grid_w, tile_h, tile_w
+            )
+            n_x = max_x - min_x
+            n_tiles = n_x * (max_y - min_y)
+            slot = jnp_.arange(B, dtype=jnp_.int32)[None, :]
+            n_x_safe = jnp_.maximum(n_x, 1)[:, None]
+            ty = min_y[:, None] + slot // n_x_safe
+            tx = min_x[:, None] + slot % n_x_safe
+            pair_live = valid[:, None] & (slot < jnp_.minimum(n_tiles, B)[:, None])
+            tile_id = jnp_.where(pair_live, ty * grid_w + tx, num_tiles)
+            key = (tile_id.astype(jnp_.int32) << KB) | inv_order[:, None]
+            if stage == "keys":
+                return jnp_.sum(key)
+            key_sorted = jax.lax.sort(key.reshape(-1))
+            if stage == "sort":
+                return jnp_.sum(key_sorted[:100])
+            pair_budget = 4 * P + 64 * num_tiles
+            NPb = min(((pair_budget + align - 1) // align) * align, P * B)
+            keys_b = key_sorted[:NPb]
+            tiles = jnp_.arange(num_tiles, dtype=jnp_.int32)
+            t_start = jnp_.searchsorted(keys_b, tiles << KB, side="left").astype(jnp_.int32)
+            t_end = jnp_.searchsorted(keys_b, (tiles + 1) << KB, side="left").astype(jnp_.int32)
+            tile_count = t_end - t_start
+            padded_counts = ((tile_count + align - 1) // align) * align
+            astart = jnp_.concatenate(
+                [jnp_.zeros((1,), jnp_.int32), jnp_.cumsum(padded_counts).astype(jnp_.int32)]
+            )
+            NP2 = ((NPb + align * num_tiles + align - 1) // align) * align
+            nb = NP2 // align
+            blocks = jnp_.arange(nb, dtype=jnp_.int32)
+            astart_b = astart // align
+            tob = jnp_.clip(
+                jnp_.searchsorted(astart_b[1:], blocks, side="right").astype(jnp_.int32),
+                0, num_tiles - 1,
+            )
+            in_tail_b = blocks >= astart_b[num_tiles]
+            block_off = blocks * align - astart[tob]
+            lane = jnp_.arange(align, dtype=jnp_.int32)[None, :]
+            off = block_off[:, None] + lane
+            in_range = (~in_tail_b[:, None]) & (off < tile_count[tob][:, None])
+            in_range = in_range.reshape(NP2)
+            src_idx = jnp_.clip(t_start[tob][:, None] + off, 0, NPb - 1).reshape(NP2)
+            if stage == "ranges":
+                return jnp_.sum(src_idx) + jnp_.sum(in_range)
+            k_rank = keys_b & ((1 << KB) - 1)
+            k_aligned = jnp_.minimum(k_rank[src_idx], P - 1)
+            if stage == "intgather":
+                return jnp_.sum(k_aligned)
+            zeros6 = jnp_.zeros((P, 16 - 10), mean2d.dtype)
+            src16 = jnp_.concatenate(
+                [mean2d, conic, opacity[:, None], color, depth[:, None], zeros6], axis=1
+            )
+            src_depth = src16[order]
+            if stage == "prowgather":
+                return jnp_.sum(src_depth)
+            rows = src_depth[k_aligned]
+            if stage == "rowgather":
+                return jnp_.sum(rows)
+            ox = ((tob % grid_w) * tile_w).astype(rows.dtype)
+            oy = ((tob // grid_w) * tile_h).astype(rows.dtype)
+            shift = jnp_.stack([ox, oy], axis=1)[:, None, :]
+            local01 = (rows[:, 0:2].reshape(nb, align, 2) - shift).reshape(NP2, 2)
+            vcol = in_range.astype(rows.dtype)[:, None]
+            rows = jnp_.concatenate(
+                [local01, rows[:, 2:10], vcol, rows[:, 11:16]], axis=1
+            )
+            rows = jnp_.where(in_range[:, None], rows, 0.0)
+            return jnp_.sum(rows)
+
+        return jax.jit(f)
+
+    for stage in ["argsorts", "keys", "sort", "ranges", "intgather",
+                  "prowgather", "rowgather", "full"]:
+        fn = partial_build(stage)
+        dt = queued_time(fn, proj, n=10)
+        print(f"{stage:12s} {dt*1e3:8.2f} ms")
+
+
 if __name__ == "__main__":
     import sys as _sys
     if "--sub" in _sys.argv:
         substages()
+        raise SystemExit
+    if "--sub2" in _sys.argv:
+        substages2()
         raise SystemExit
     main()
