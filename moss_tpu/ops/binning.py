@@ -288,6 +288,53 @@ def build_pair_rows(
     ty = min_y[:, None] + slot // n_x_safe
     tx = min_x[:, None] + slot % n_x_safe
     pair_live = valid[:, None] & (slot < jnp.minimum(n_tiles, B)[:, None])
+
+    # 3b. exact peak-alpha tile cull: drop (splat, tile) pairs whose max
+    # alpha over the tile's pixel grid is < 1/255 — the blend kernel's
+    # ALPHA_MIN skip (forward.cu:341-349 semantics) zeroes those pairs'
+    # contributions AND gradients, so dropping them is output-bit-identical
+    # while every downstream cost (sort, gathers, kernel chunks, backward
+    # scatter) scales with live pairs. The max of alpha = op*exp(-q) over the
+    # tile rect is found by minimizing the positive-definite quadratic
+    # q = 0.5(a dx^2 + c dy^2) + b dx dy over the rect of pixel centers:
+    # at the mean if inside, else on one of the 4 edges (per-edge 1-D
+    # minimizer, clamped). A small margin keeps the test conservative
+    # against fp differences vs the kernel's per-pixel evaluation.
+    if conic is not None:
+        f32 = mean2d.dtype
+        ca = conic[:, 0:1]
+        cb = conic[:, 1:2]
+        cc = conic[:, 2:3]
+        mx = mean2d[:, 0:1]
+        my = mean2d[:, 1:2]
+        dx0 = tx.astype(f32) * tile_w - mx
+        dx1 = dx0 + (tile_w - 1)
+        dy0 = ty.astype(f32) * tile_h - my
+        dy1 = dy0 + (tile_h - 1)
+
+        def q(dx_, dy_):
+            return 0.5 * (ca * dx_ * dx_ + cc * dy_ * dy_) + cb * dx_ * dy_
+
+        a_safe = jnp.maximum(ca, 1e-12)
+        c_safe = jnp.maximum(cc, 1e-12)
+
+        def edge_x(dxe):  # vertical edge: dx fixed, dy in [dy0, dy1]
+            dye = jnp.clip(-cb * dxe / c_safe, dy0, dy1)
+            return q(dxe, dye)
+
+        def edge_y(dye):  # horizontal edge: dy fixed, dx in [dx0, dx1]
+            dxe = jnp.clip(-cb * dye / a_safe, dx0, dx1)
+            return q(dxe, dye)
+
+        inside = (dx0 <= 0) & (0 <= dx1) & (dy0 <= 0) & (0 <= dy1)
+        qmin = jnp.minimum(
+            jnp.minimum(edge_x(dx0), edge_x(dx1)),
+            jnp.minimum(edge_y(dy0), edge_y(dy1)),
+        )
+        qmin = jnp.where(inside, 0.0, qmin)
+        qcap = jnp.log(jnp.maximum(opacity[:, None], 1e-12) * 255.0) + 1e-3
+        pair_live = pair_live & (qmin <= qcap)
+
     tile_id = jnp.where(pair_live, ty * grid_w + tx, num_tiles)
     key = (tile_id.astype(jnp.int32) << KB) | inv_order[:, None]
     key_sorted = jax.lax.sort(key.reshape(-1))  # (P*B,)

@@ -22,8 +22,9 @@ Design (see SURVEY.md §5.7, §7):
                quadratic-form trick runs at bf16 input precision on v5e and
                corrupts power through cancellation — measured 2.5e-3 rel)
       alpha  = min(0.99, op * exp(power)) with the reference's skip rules
-      T      = exp(cumsum log1p(-alpha))   (log-space transmittance; the
-               T < 1e-4 termination becomes a monotone threshold on the cumsum)
+      T      = masked cumprod of (1 - alpha)   (the CUDA recurrence
+               T *= (1 - alpha); the T < 1e-4 termination is a monotone
+               threshold on the inclusive product)
       out   += alpha * T * [r, g, b, depth, 1]
   * Backward is a forward-order *recompute* pass (no stored per-splat state):
     the suffix sums S_k = sum_{j>k} w_j dL/dw_j needed by d alpha come from
@@ -60,7 +61,7 @@ PIX = TILE_H * TILE_W
 CHUNK = 128               # splats processed per inner step
 ALPHA_MAX = 0.99
 ALPHA_MIN = 1.0 / 255.0
-LOG_T_EPS = float(np.log(1e-4))
+T_EPS = 1e-4
 
 # The pair buffer is stored TRANSPOSED, (16, NPAIRS). Row layout (f32):
 #  0 mx_local  1 my_local  2 conic_a  3 conic_b  4 conic_c
@@ -84,13 +85,13 @@ def _col(g, i):
     return g[:, i:i + 1][:, :, None]
 
 
-def _cumsum_splats(x):
-    """Inclusive cumsum along the splat (leading) axis.
+def _scan_splats(x, op, unit):
+    """Inclusive scan along the splat (leading) axis for an associative op.
 
     Two-level formulation: Hillis-Steele within groups of S splats (log2 S
-    full-width roll+add+select steps), then a scan over the G group totals at
-    1/S width, then one broadcast add — ~10 full-width ops for K=128 vs 21
-    for the flat log2(K) Hillis-Steele.
+    full-width roll+combine+select steps), then a scan over the G group
+    totals at 1/S width, then one broadcast combine — ~10 full-width ops for
+    K=128 vs 21 for the flat log2(K) Hillis-Steele.
     """
     K, H, W = x.shape
     S = 8
@@ -99,7 +100,7 @@ def _cumsum_splats(x):
         s = 1
         while s < K:
             shifted = pltpu.roll(x, s, axis=0)
-            x = x + jnp.where(rowid >= s, shifted, 0.0)
+            x = op(x, jnp.where(rowid >= s, shifted, unit))
             s *= 2
         return x
     G = K // S
@@ -108,27 +109,44 @@ def _cumsum_splats(x):
     s = 1
     while s < S:
         shifted = pltpu.roll(xg, s, axis=1)
-        xg = xg + jnp.where(rowid >= s, shifted, 0.0)
+        xg = op(xg, jnp.where(rowid >= s, shifted, unit))
         s *= 2
     tot = xg[:, S - 1]  # (G, H, W) inclusive group totals
     gid = jax.lax.broadcasted_iota(jnp.int32, (G, H, W), 0)
     s = 1
     while s < G:
         shifted = pltpu.roll(tot, s, axis=0)
-        tot = tot + jnp.where(gid >= s, shifted, 0.0)
+        tot = op(tot, jnp.where(gid >= s, shifted, unit))
         s *= 2
     # exclusive group offsets: shift totals down one group
-    off = jnp.where(gid >= 1, pltpu.roll(tot, 1, axis=0), 0.0)
-    return (xg + off[:, None]).reshape(K, H, W)
+    off = jnp.where(gid >= 1, pltpu.roll(tot, 1, axis=0), unit)
+    return op(xg, off[:, None]).reshape(K, H, W)
 
 
-def _chunk_blend(g, rowmask, T_log, done):
+def _cumsum_splats(x):
+    return _scan_splats(x, jnp.add, 0.0)
+
+
+def _cumprod_splats(x):
+    return _scan_splats(x, jnp.multiply, 1.0)
+
+
+def _shift_down_splats(x, fill):
+    """Shift one step along the splat axis; row 0 <- fill ((1, H, W))."""
+    rowid = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(rowid == 0, fill, pltpu.roll(x, 1, axis=0))
+
+
+def _chunk_blend(g, rowmask, T_in, done):
     """Shared forward math for one (CHUNK, 16) geometry block.
 
-    rowmask: (CHUNK, 1, 1) live-row mask. T_log/done: (1, TILE_H, TILE_W).
-    Returns (alpha, lg, cum_incl, contrib, w, T_log_out, done_out); the
+    rowmask: (CHUNK, 1, 1) live-row mask. T_in/done: (1, TILE_H, TILE_W).
+    Returns (alpha, contrib, T_before, w, T_out, done_out); the
     (CHUNK, TILE_H, TILE_W) arrays follow the oracle's masked-cumulative
-    contract exactly.
+    contract exactly. Transmittance is tracked multiplicatively — the CUDA
+    recurrence T *= (1 - alpha) (forward.cu:351-364) becomes an inclusive
+    masked cumprod; T_before is the exclusive product (one shift), and the
+    T < 1e-4 termination is a monotone threshold on the inclusive product.
     """
     px, py = _pixel_coords()
     dx = _col(g, 0) - px  # (CHUNK, TILE_H, TILE_W)
@@ -140,15 +158,18 @@ def _chunk_blend(g, rowmask, T_log, done):
     # no valid-column test: all rows < count are live pairs by construction
     # (build_pair_rows), and zeroed pad rows give alpha = 0 < ALPHA_MIN.
     m = rowmask & (power <= 0.0) & (alpha >= ALPHA_MIN)
-    lg = jnp.where(m, jnp.log1p(-alpha), 0.0)
-    cum = T_log + _cumsum_splats(lg)  # inclusive candidate log-transmittance
-    fired = (cum < LOG_T_EPS) | (done > 0.5)
+    one_m_a = jnp.where(m, 1.0 - alpha, 1.0)
+    cumT = T_in * _cumprod_splats(one_m_a)  # inclusive candidate T
+    fired = (cumT < T_EPS) | (done > 0.5)
     contrib = m & ~fired
-    T_before = jnp.exp(cum - lg)
+    T_before = _shift_down_splats(cumT, T_in)
     w = jnp.where(contrib, alpha, 0.0) * T_before  # alpha * T_before
-    T_log_out = T_log + jnp.sum(jnp.where(contrib, lg, 0.0), axis=0, keepdims=True)
+    # T after the last contributing splat: cumT is non-increasing, so this is
+    # the min of cumT over contrib rows (T_in when none) — reduce_prod is not
+    # lowerable in Mosaic, reduce_min is.
+    T_out = jnp.min(jnp.where(contrib, cumT, T_in), axis=0, keepdims=True)
     done_out = jnp.maximum(done, fired[-1:].astype(jnp.float32))
-    return alpha, lg, cum, contrib, T_before, w, T_log_out, done_out
+    return alpha, contrib, T_before, w, T_out, done_out
 
 
 def _fwd_kernel(gw: int, start_ref, count_ref, geom_hbm,
@@ -188,11 +209,11 @@ def _fwd_kernel(gw: int, start_ref, count_ref, geom_hbm,
         get_dma(slot, c).wait()
 
         def live(carry):
-            T_log, done, acc_r, acc_g, acc_b, acc_d, acc_a, _ = carry
+            T, done, acc_r, acc_g, acc_b, acc_d, acc_a, _ = carry
             g = jnp.transpose(scratch[slot], (1, 0))  # (CHUNK, 16)
             rowmask = rowid < (count - c * CHUNK)
-            _al, _lg, _cum, _ct, _tb, w, T_log, done = _chunk_blend(
-                g, rowmask, T_log, done
+            _al, _ct, _tb, w, T, done = _chunk_blend(
+                g, rowmask, T, done
             )
             acc_r = acc_r + jnp.sum(w * _col(g, 6), axis=0, keepdims=True)
             acc_g = acc_g + jnp.sum(w * _col(g, 7), axis=0, keepdims=True)
@@ -200,21 +221,22 @@ def _fwd_kernel(gw: int, start_ref, count_ref, geom_hbm,
             acc_d = acc_d + jnp.sum(w * _col(g, 9), axis=0, keepdims=True)
             acc_a = acc_a + jnp.sum(w, axis=0, keepdims=True)
             stop = (jnp.min(done) > 0.5).astype(jnp.int32)
-            return T_log, done, acc_r, acc_g, acc_b, acc_d, acc_a, stop
+            return T, done, acc_r, acc_g, acc_b, acc_d, acc_a, stop
 
         return jax.lax.cond(stop == 0, live, lambda carry: carry, carry)
 
     zero = jnp.zeros((1, TILE_H, TILE_W), jnp.float32)
-    T_log, done, ar, ag, ab_, ad, aa, _stop = jax.lax.fori_loop(
+    one = jnp.ones((1, TILE_H, TILE_W), jnp.float32)
+    T, done, ar, ag, ab_, ad, aa, _stop = jax.lax.fori_loop(
         0, n_chunks, body,
-        (zero, zero, zero, zero, zero, zero, zero, jnp.int32(0)),
+        (one, zero, zero, zero, zero, zero, zero, jnp.int32(0)),
     )
     r_ref[:] = ar[0]
     g_ref[:] = ag[0]
     b_ref[:] = ab_[0]
     d_ref[:] = ad[0]
     a_ref[:] = aa[0]
-    t_ref[:] = jnp.exp(T_log)[0]
+    t_ref[:] = T[0]
 
 
 def _bwd_kernel(gw: int, start_ref, count_ref, geom_hbm, gimg_ref, grad_hbm,
@@ -260,11 +282,11 @@ def _bwd_kernel(gw: int, start_ref, count_ref, geom_hbm, gimg_ref, grad_hbm,
         get_dma(slot, c).wait()
 
         def live(carry):
-            T_log, done, prefix, _ = carry
+            T, done, prefix, _ = carry
             g = jnp.transpose(scratch[slot], (1, 0))  # (CHUNK, 16)
             rowmask = rowid < (count - c * CHUNK)
-            alpha, lg, cum, contrib, T_before, w, T_log_out, done_out = _chunk_blend(
-                g, rowmask, T_log, done
+            alpha, contrib, T_before, w, T_out, done_out = _chunk_blend(
+                g, rowmask, T, done
             )
             dLdw = (
                 _col(g, 6) * g_r + _col(g, 7) * g_g + _col(g, 8) * g_b
@@ -286,7 +308,10 @@ def _bwd_kernel(gw: int, start_ref, count_ref, geom_hbm, gimg_ref, grad_hbm,
             # Two-stage reductions, sublane axis first: the (CHUNK, TILE_W)
             # intermediates pack 8x denser than (CHUNK, TILE_H, TILE_W), so
             # the lane-reduction tree runs on 16 vregs instead of 128.
-            # fdx/fdy products are shared across the five conic/mean moments.
+            # dx is constant over sublanes, so the dx-weighted moments (da, db)
+            # drop to the cheap (CHUNK, W) lane stage: sum_hw f*dx*g =
+            # sum_w dx_w * (sum_h f*g) — exact reassociation, no extra
+            # full-block multiplies.
             def ssum(x):  # (CHUNK, H, W) -> (CHUNK, W)
                 return jnp.sum(x, axis=1)
 
@@ -295,11 +320,17 @@ def _bwd_kernel(gw: int, start_ref, count_ref, geom_hbm, gimg_ref, grad_hbm,
 
             fdx = dpower * dx
             fdy = dpower * dy
-            sfx = ls(ssum(fdx))
-            sfy = ls(ssum(fdy))
-            da = -0.5 * ls(ssum(fdx * dx))
+            A0 = ssum(fdx)            # (CHUNK, W)
+            B0 = ssum(fdy)
+            pxw = jax.lax.broadcasted_iota(
+                jnp.int32, (1, TILE_W), 1
+            ).astype(jnp.float32)
+            dxw = g[:, 0:1] - pxw     # (CHUNK, W): dx per lane
+            sfx = ls(A0)
+            sfy = ls(B0)
+            da = -0.5 * ls(A0 * dxw)
             dc = -0.5 * ls(ssum(fdy * dy))
-            db = -ls(ssum(fdx * dy))
+            db = -ls(B0 * dxw)
             dmx = -(a2 * sfx + b2 * sfy)
             dmy = -(c2 * sfy + b2 * sfx)
             op = jnp.maximum(g[:, 5:6], 1e-12)
@@ -318,7 +349,7 @@ def _bwd_kernel(gw: int, start_ref, count_ref, geom_hbm, gimg_ref, grad_hbm,
             grad_rows = jnp.where(rm2, grad_rows, 0.0)
             prefix_out = prefix + jnp.sum(q, axis=0, keepdims=True)
             stop = (jnp.min(done_out) > 0.5).astype(jnp.int32)
-            return (T_log_out, done_out, prefix_out, stop), grad_rows
+            return (T_out, done_out, prefix_out, stop), grad_rows
 
         def dead(carry):
             return carry, jnp.zeros((CHUNK, GEOM_COLS), jnp.float32)
@@ -334,7 +365,8 @@ def _bwd_kernel(gw: int, start_ref, count_ref, geom_hbm, gimg_ref, grad_hbm,
         return carry
 
     zero = jnp.zeros((1, TILE_H, TILE_W), jnp.float32)
-    jax.lax.fori_loop(0, n_chunks, body, (zero, zero, zero, jnp.int32(0)))
+    one = jnp.ones((1, TILE_H, TILE_W), jnp.float32)
+    jax.lax.fori_loop(0, n_chunks, body, (one, zero, zero, jnp.int32(0)))
 
     @pl.when(n_chunks >= 2)
     def _():
