@@ -199,9 +199,10 @@ class AlignedBinning(NamedTuple):
 class PairLayout(NamedTuple):
     """Kernel-ready aligned pair layout from the fused fast path.
 
-    rows: (NP2, 16) f32 — geometry rows in aligned order, tile-LOCAL means in
-      cols 0:2, kernel column layout (see rasterize_tpu GEOM_COLS); dead rows
-      zeroed (gradient barrier included).
+    rows: (16, NP2) f32 — TRANSPOSED geometry buffer in aligned order (the
+      layout the Pallas kernels DMA directly), tile-LOCAL means in rows 0:2,
+      kernel column layout (see rasterize_tpu GEOM_COLS); dead columns zeroed
+      (gradient barrier included).
     pair_valid: (NP2,) bool; tile_start/tile_count as in AlignedBinning.
     num_pairs / overflow: live-pair count and dropped-pair count for logging.
     """
@@ -416,19 +417,29 @@ def build_pair_rows(
     src_depth = src16[order]          # (P, 16) rows in depth order
     rows = src_depth[k_aligned]       # (NP2, 16)
 
-    # 8. tile-local means + validity column + gradient barrier
-    ox = ((tob % grid_w) * tile_w).astype(rows.dtype)
-    oy = ((tob // grid_w) * tile_h).astype(rows.dtype)
-    shift = jnp.stack([ox, oy], axis=1)[:, None, :]   # (nb, 1, 2)
-    local01 = (rows[:, 0:2].reshape(nb, align, 2) - shift).reshape(NP2, 2)
-    vcol = in_range.astype(rows.dtype)[:, None]
-    rows = jnp.concatenate(
-        [local01, rows[:, 2:10], vcol, rows[:, 11:16]], axis=1
+    # 8. tile-local means + validity column + gradient barrier, applied in
+    # the TRANSPOSED (16, NP2) layout the kernels consume: with NP2 on the
+    # lane (minor) axis every op here is fully lane-parallel, whereas the
+    # same math on (NP2, 16) rows lowers to minor-dim-2/16 vectors + a
+    # mixed-width concat (~1.8 ms/frame measured; this form is ~0.1 ms).
+    geomT = rows.T                                    # (16, NP2)
+    ox = ((tob % grid_w) * tile_w).astype(geomT.dtype)   # (nb,)
+    oy = ((tob // grid_w) * tile_h).astype(geomT.dtype)
+    oxe = jnp.broadcast_to(ox[:, None], (nb, align)).reshape(1, NP2)
+    oye = jnp.broadcast_to(oy[:, None], (nb, align)).reshape(1, NP2)
+    live = in_range.astype(geomT.dtype)[None, :]      # (1, NP2)
+    geomT = jnp.concatenate(
+        [geomT[0:1] - oxe, geomT[1:2] - oye, geomT[2:10], live, geomT[11:16]],
+        axis=0,
     )
-    rows = jnp.where(in_range[:, None], rows, 0.0)
+    # dead-column zero doubles as the gradient barrier (the VJP zeroes dead
+    # grads before the scatter back to Gaussians). Must be a select, not a
+    # multiply: dead columns gathered from invalid Gaussians can hold inf/nan
+    # (preprocess division by z~0) and 0 * inf = nan.
+    geomT = jnp.where(live > 0, geomT, 0.0)
 
     return PairLayout(
-        rows=rows,
+        rows=geomT,
         pair_valid=in_range,
         tile_start=astart[:num_tiles],
         tile_count=tile_count,

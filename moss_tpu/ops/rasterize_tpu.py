@@ -484,12 +484,12 @@ def _build_pairs(proj: Projected, height, width, max_tiles_per_gaussian,
         pair_budget=pair_budget, align=CHUNK,
         radius_xy=proj.radius_xy,
     )
-    # (16, NP2) transposed pair buffer: the kernels DMA (16, CHUNK) column
-    # blocks at 128-aligned lane offsets (a Mosaic requirement; row-major
-    # (CHUNK, 16) VMEM slices violate the 128-lane tiling). The transpose is
-    # ~0.3 ms/frame; build_pair_rows already applied local coords, validity
-    # column, and the dead-row gradient barrier.
-    geom = pl_.rows.T
+    # build_pair_rows returns the (16, NP2) TRANSPOSED pair buffer directly:
+    # the kernels DMA (16, CHUNK) column blocks at 128-aligned lane offsets
+    # (a Mosaic requirement; row-major (CHUNK, 16) VMEM slices violate the
+    # 128-lane tiling). Local coords, validity column, and the dead-column
+    # gradient barrier are already applied.
+    geom = pl_.rows
     return _TileGeometry(
         geom=geom,
         pair_gaussian=None,
