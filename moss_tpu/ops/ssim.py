@@ -13,8 +13,6 @@ Mirrors /root/reference/utils/loss_utils.py:17-87 and utils/image_utils.py:
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -34,30 +32,28 @@ def _gaussian_1d():
 _G1D = _gaussian_1d()
 
 
-@partial(jax.jit, static_argnums=0)
-def _band_matrix(n: int):
-    """(n, n) banded matrix B with B[i, j] = g[j - i + r]: X @ B is the
-    SAME-padded 1-D gaussian blur along that axis."""
+def _blur_axis(x, axis: int):
+    """SAME-padded 11-tap gaussian blur along `axis` as shift-adds."""
     r = WINDOW_SIZE // 2
-    i = jnp.arange(n)[:, None]
-    j = jnp.arange(n)[None, :]
-    d = j - i + r
-    g = jnp.asarray(_G1D)
-    return jnp.where((d >= 0) & (d < WINDOW_SIZE), g[jnp.clip(d, 0, WINDOW_SIZE - 1)], 0.0)
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (r, r)
+    xp = jnp.pad(x, pad)
+    n = x.shape[axis]
+    acc = None
+    for k in range(WINDOW_SIZE):
+        term = float(_G1D[k]) * jax.lax.slice_in_dim(xp, k, k + n, axis=axis)
+        acc = term if acc is None else acc + term
+    return acc
 
 
 def _filter(img):
-    """Separable 11-tap gaussian blur as two banded MXU matmuls.
+    """Separable 11-tap gaussian blur as 2x11 shifted adds (pure VPU).
 
     A depthwise 11x11 conv lowers catastrophically on TPU (~46 ms fwd+bwd at
-    256^2 measured); two band matmuls are exact (f32 HIGHEST) and ~100x
-    cheaper. img: (H, W, C) -> (H, W, C)."""
-    H, W = img.shape[0], img.shape[1]
-    Bw = _band_matrix(W)
-    Bh = _band_matrix(H)
-    hp = jax.lax.Precision.HIGHEST
-    out = jnp.einsum("hwc,wk->hkc", img, Bw, precision=hp)
-    return jnp.einsum("hwc,hk->kwc", out, Bh, precision=hp)
+    256^2 measured). Banded MXU matmuls are exact but O(W^2) — fine at 512
+    but 28 ms fwd+bwd inside s3im's 10x-repeated 5120-wide images. Shift-adds
+    are exact f32 and O(W * window). img: (H, W, C) -> (H, W, C)."""
+    return _blur_axis(_blur_axis(img, 0), 1)
 
 
 def ssim(img1, img2):
