@@ -70,13 +70,54 @@ def ssim(img1, img2):
     return jnp.mean(ssim_map)
 
 
+def _filter_rep(x, repeat: int):
+    """Gaussian blur of the `repeat`x column-repeated image, phase-major.
+
+    (H, W, C) -> (repeat, H, W, C) with out[p, h, t] == _filter(rep(x))[h,
+    repeat*t + p]. Because WINDOW_SIZE <= repeat + 1, the 11-tap window over
+    the repeated signal spans at most TWO distinct source columns, so each
+    phase is a 2-tap combination of the H-blurred original — the W-axis blur
+    never touches the repeat-width image (110 taps -> 20)."""
+    r = WINDOW_SIZE // 2
+    u = _blur_axis(x, 0)
+    up = jnp.pad(u, ((0, 0), (1, 1), (0, 0)))
+    um1, u0, up1 = up[:, :-2], up[:, 1:-1], up[:, 2:]
+    outs = []
+    for p in range(repeat):
+        # output column j = repeat*t + p reads repeated indices m = j+k-r,
+        # k in [0, WINDOW): sources floor(m/repeat) in {t-1, t} for p < r,
+        # {t, t+1} for p >= r; zero-padding of u matches SAME-pad clipping.
+        if p < r:
+            a = float(_G1D[: r - p].sum())
+            outs.append(a * um1 + (1.0 - a) * u0)
+        else:
+            a = float(_G1D[: repeat + r - p].sum())
+            outs.append(a * u0 + (1.0 - a) * up1)
+    return jnp.stack(outs, 0)
+
+
 def s3im(img1, img2, repeat: int = 10):
     """The reference's effective S3IM (see module docstring): SSIM over images
     with each pixel repeated `repeat` times along width. Returns the *loss*
     (1 - ssim), matching s3im_fun's return."""
-    a = jnp.repeat(img1, repeat, axis=1)
-    b = jnp.repeat(img2, repeat, axis=1)
-    return 1.0 - ssim(a, b)
+    if WINDOW_SIZE > repeat + 1:
+        a = jnp.repeat(img1, repeat, axis=1)
+        b = jnp.repeat(img2, repeat, axis=1)
+        return 1.0 - ssim(a, b)
+    # phase decomposition: rep(x)^2 == rep(x^2), so every filtered field of
+    # the repeated pair is a _filter_rep of an original-width image, and the
+    # SSIM map mean over (H, repeat*W) equals the mean over (repeat, H, W).
+    F = lambda x: _filter_rep(x, repeat)  # noqa: E731
+    mu1 = F(img1)
+    mu2 = F(img2)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = F(img1 * img1) - mu1_sq
+    s2 = F(img2 * img2) - mu2_sq
+    s12 = F(img1 * img2) - mu1_mu2
+    ssim_map = ((2 * mu1_mu2 + C1) * (2 * s12 + C2)) / (
+        (mu1_sq + mu2_sq + C1) * (s1 + s2 + C2)
+    )
+    return 1.0 - jnp.mean(ssim_map)
 
 
 def psnr(img1, img2):

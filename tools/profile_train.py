@@ -44,10 +44,10 @@ def main():
         rt.INTERPRET = True
 
     H = W = 512
-    scene = make_scene(n_verts=2048)
+    scene = make_scene(n_verts=6890)
     frames, _ = make_frames(scene, n_frames=2, H=H, W=W, crop=H)
     cfg = Config(model=ModelConfig(sh_degree=3, capacity=46080,
-                                   n_init_points=2048))
+                                   n_init_points=6890))
     tr = Trainer(scene, frames, frames[:1], cfg, crop_hw=(H, W))
     frame = frames[0]
 
