@@ -21,11 +21,46 @@ segment-summed back to Gaussians, which keeps the backward deterministic
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _gather_rows(table, idx, nsplit: int):
+    """table[idx] with a CHUNKED scatter-add VJP.
+
+    XLA's scatter-add is superlinear in update count (PERF.md: 1.5 ms at 159k
+    rows, 4.8 ms at 317k); splitting the one big scatter into `nsplit`
+    sequential scatters into the same accumulator sits back on the linear part
+    of the curve (measured 3.5 -> 2.2 ms at 233k rows, tools/scatter_micro.py).
+    Bit-exactness: float summation order per table row changes (per-chunk
+    partial sums), which is within the same reassociation freedom the single
+    scatter already exercises.
+    """
+    return table[idx]
+
+
+def _gather_rows_fwd(table, idx, nsplit: int):
+    return table[idx], (idx, table.shape[0])
+
+
+def _gather_rows_bwd(nsplit: int, res, g):
+    idx, P = res
+    N = idx.shape[0]
+    out = jnp.zeros((P, g.shape[1]), g.dtype)
+    step = -(-N // nsplit)
+    for k in range(nsplit):
+        out = out.at[idx[k * step:(k + 1) * step]].add(
+            g[k * step:(k + 1) * step], mode="promise_in_bounds"
+        )
+    return out, np.zeros(idx.shape, jax.dtypes.float0)
+
+
+_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
 def tile_rect(mean2d, radius, grid_h: int, grid_w: int, tile_h: int, tile_w: int):
@@ -415,7 +450,7 @@ def build_pair_rows(
         [mean2d, conic, opacity[:, None], color, depth[:, None], zeros6], axis=1
     )
     src_depth = src16[order]          # (P, 16) rows in depth order
-    rows = src_depth[k_aligned]       # (NP2, 16)
+    rows = _gather_rows(src_depth, k_aligned, 4)  # (NP2, 16)
 
     # 8. tile-local means + validity column + gradient barrier, applied in
     # the TRANSPOSED (16, NP2) layout the kernels consume: with NP2 on the

@@ -191,7 +191,33 @@ def _fwd_kernel(gw: int, start_ref, count_ref, geom_hbm,
     def _():
         get_dma(0, 0).start()
 
-    rowid = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1, 1), 0)
+    def make_live(c, slot, K):
+        """Forward blend of chunk c at splat width K (static).
+
+        K < CHUNK is the half-width tail path: the last chunk of a tile has
+        count % CHUNK live rows; when that remainder is <= CHUNK // 2 the
+        whole blend runs on (K, H, W) blocks — half the vregs per op — which
+        claws back about half of the 128-granularity padding waste (~13% of
+        pairs on the bench scene, PERF.md).
+        """
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (K, 1, 1), 0)
+
+        def live(carry):
+            T, done, acc_r, acc_g, acc_b, acc_d, acc_a, _ = carry
+            g = jnp.transpose(scratch[slot][:, :K], (1, 0))  # (K, 16)
+            rowmask = rowid < (count - c * CHUNK)
+            _al, _ct, _tb, w, T, done = _chunk_blend(
+                g, rowmask, T, done
+            )
+            acc_r = acc_r + jnp.sum(w * _col(g, 6), axis=0, keepdims=True)
+            acc_g = acc_g + jnp.sum(w * _col(g, 7), axis=0, keepdims=True)
+            acc_b = acc_b + jnp.sum(w * _col(g, 8), axis=0, keepdims=True)
+            acc_d = acc_d + jnp.sum(w * _col(g, 9), axis=0, keepdims=True)
+            acc_a = acc_a + jnp.sum(w, axis=0, keepdims=True)
+            stop = (jnp.min(done) > 0.5).astype(jnp.int32)
+            return T, done, acc_r, acc_g, acc_b, acc_d, acc_a, stop
+
+        return live
 
     def body(c, carry):
         stop = carry[-1]
@@ -208,22 +234,20 @@ def _fwd_kernel(gw: int, start_ref, count_ref, geom_hbm,
 
         get_dma(slot, c).wait()
 
-        def live(carry):
-            T, done, acc_r, acc_g, acc_b, acc_d, acc_a, _ = carry
-            g = jnp.transpose(scratch[slot], (1, 0))  # (CHUNK, 16)
-            rowmask = rowid < (count - c * CHUNK)
-            _al, _ct, _tb, w, T, done = _chunk_blend(
-                g, rowmask, T, done
-            )
-            acc_r = acc_r + jnp.sum(w * _col(g, 6), axis=0, keepdims=True)
-            acc_g = acc_g + jnp.sum(w * _col(g, 7), axis=0, keepdims=True)
-            acc_b = acc_b + jnp.sum(w * _col(g, 8), axis=0, keepdims=True)
-            acc_d = acc_d + jnp.sum(w * _col(g, 9), axis=0, keepdims=True)
-            acc_a = acc_a + jnp.sum(w, axis=0, keepdims=True)
-            stop = (jnp.min(done) > 0.5).astype(jnp.int32)
-            return T, done, acc_r, acc_g, acc_b, acc_d, acc_a, stop
+        is_half_tail = (c == n_chunks - 1) & (count - c * CHUNK <= CHUNK // 2)
 
-        return jax.lax.cond(stop == 0, live, lambda carry: carry, carry)
+        def full_or_dead(carry):
+            return jax.lax.cond(
+                stop == 0, make_live(c, slot, CHUNK), lambda carry: carry, carry
+            )
+
+        def half_or_dead(carry):
+            return jax.lax.cond(
+                stop == 0, make_live(c, slot, CHUNK // 2), lambda carry: carry,
+                carry,
+            )
+
+        return jax.lax.cond(is_half_tail, half_or_dead, full_or_dead, carry)
 
     zero = jnp.zeros((1, TILE_H, TILE_W), jnp.float32)
     one = jnp.ones((1, TILE_H, TILE_W), jnp.float32)
@@ -264,26 +288,21 @@ def _bwd_kernel(gw: int, start_ref, count_ref, geom_hbm, gimg_ref, grad_hbm,
     def _():
         get_dma(0, 0).start()
 
-    rowid = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1, 1), 0)
     gimg = gimg_ref[0]           # (8, TILE_H, TILE_W)
     g_r, g_g, g_b = gimg[0:1], gimg[1:2], gimg[2:3]
     g_d, g_a = gimg[3:4], gimg[4:5]
     Qtot = gimg[6:7]             # sum_j w_j dL/dw_j from forward outputs
     tail = gimg[7:8]             # g_Tfinal * T_final
 
-    def body(c, carry):
-        stop0 = carry[-1]
-        slot = jax.lax.rem(c, 2)
-
-        @pl.when(c + 1 < n_chunks)
-        def _():
-            get_dma(1 - slot, c + 1).start()
-
-        get_dma(slot, c).wait()
+    def make_live(c, slot, K):
+        # K < CHUNK: half-width tail path (see _fwd_kernel.make_live) — the
+        # produced grad rows are padded back to (CHUNK, 16) with zeros, which
+        # is exactly what the full path writes for those dead rows.
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (K, 1, 1), 0)
 
         def live(carry):
             T, done, prefix, _ = carry
-            g = jnp.transpose(scratch[slot], (1, 0))  # (CHUNK, 16)
+            g = jnp.transpose(scratch[slot][:, :K], (1, 0))  # (K, 16)
             rowmask = rowid < (count - c * CHUNK)
             alpha, contrib, T_before, w, T_out, done_out = _chunk_blend(
                 g, rowmask, T, done
@@ -344,17 +363,46 @@ def _bwd_kernel(gw: int, start_ref, count_ref, geom_hbm, gimg_ref, grad_hbm,
                 [dmx, dmy, da, db, dc, dop, dr, dg, dbl, dd,
                  zeros, zeros, zeros, zeros, zeros, zeros],
                 axis=1,
-            )  # (CHUNK, 16)
-            rm2 = rowid.reshape(CHUNK, 1) < (count - c * CHUNK)
+            )  # (K, 16)
+            rm2 = rowid.reshape(K, 1) < (count - c * CHUNK)
             grad_rows = jnp.where(rm2, grad_rows, 0.0)
+            if K < CHUNK:
+                grad_rows = jnp.concatenate(
+                    [grad_rows, jnp.zeros((CHUNK - K, GEOM_COLS), jnp.float32)],
+                    axis=0,
+                )
             prefix_out = prefix + jnp.sum(q, axis=0, keepdims=True)
             stop = (jnp.min(done_out) > 0.5).astype(jnp.int32)
             return (T_out, done_out, prefix_out, stop), grad_rows
 
+        return live
+
+    def body(c, carry):
+        stop0 = carry[-1]
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            get_dma(1 - slot, c + 1).start()
+
+        get_dma(slot, c).wait()
+
         def dead(carry):
             return carry, jnp.zeros((CHUNK, GEOM_COLS), jnp.float32)
 
-        carry, grad_rows = jax.lax.cond(stop0 == 0, live, dead, carry)
+        is_half_tail = (c == n_chunks - 1) & (count - c * CHUNK <= CHUNK // 2)
+
+        def full_or_dead(carry):
+            return jax.lax.cond(stop0 == 0, make_live(c, slot, CHUNK), dead, carry)
+
+        def half_or_dead(carry):
+            return jax.lax.cond(
+                stop0 == 0, make_live(c, slot, CHUNK // 2), dead, carry
+            )
+
+        carry, grad_rows = jax.lax.cond(
+            is_half_tail, half_or_dead, full_or_dead, carry
+        )
 
         @pl.when(c >= 2)
         def _():
