@@ -266,6 +266,8 @@ def build_pair_rows(
     pair_budget: int = 0,
     align: int = 128,
     radius_xy=None,
+    groups: int = 1,
+    slot_budget: int = 0,
 ) -> PairLayout:
     """Fused binning + aligned geometry-row build (the fast path).
 
@@ -282,13 +284,31 @@ def build_pair_rows(
         `align` pairs is one contiguous run of the tile-sorted pair list, so
         a vmapped dynamic_slice moves whole blocks (no per-element gather).
 
+    groups > 1 is the LANE-PACKED SUBTILE layout: binning runs at
+    (tile_h, tile_w // groups) subtiles and the output interleaves the
+    `groups` subtile streams of each geometric supertile at chunk
+    granularity — slot(s, c, g, lane) = base_s + (c*G + g)*align + lane —
+    so the blend kernels DMA one (16, G*align) block per chunk and each
+    chunk row carries G independent pairs, one per 128/G-lane group. Splats
+    are narrow relative to 128 lanes, so narrower subtiles cut the number
+    of (pair, tile) chunks ~2x at G=4 (tools/subtile_stats.py) at the cost
+    of more pairs and per-supertile max-of-group padding. `tile_start`
+    becomes the per-SUPERTILE slot offset and `tile_count` the per-SUBTILE
+    live counts (subtile raster order == (supertile, group) order).
+
     All downstream semantics (depth order within tile, budget drop + overflow
     count, gradient barrier on dead rows) match the slow path exactly.
     """
     P = mean2d.shape[0]
+    G = groups
+    assert tile_w % G == 0 and align % 8 == 0
+    sub_w = tile_w // G
     grid_h = -(-height // tile_h)
-    grid_w = -(-width // tile_w)
-    num_tiles = grid_h * grid_w
+    grid_w_sup = -(-width // tile_w)       # geometric supertile columns
+    grid_w = grid_w_sup * G                # binning runs at subtile granularity
+    num_tiles = grid_h * grid_w            # number of SUBtiles
+    num_super = grid_h * grid_w_sup
+    tile_w = sub_w
     B = max_tiles_per_gaussian
 
     # rank bits: depth rank < P
@@ -393,30 +413,68 @@ def build_pair_rows(
     tiles = jnp.arange(num_tiles, dtype=jnp.int32)
     t_start = jnp.searchsorted(keys_b, tiles << KB, side="left").astype(jnp.int32)
     t_end = jnp.searchsorted(keys_b, (tiles + 1) << KB, side="left").astype(jnp.int32)
-    tile_count = t_end - t_start
+    tile_count = t_end - t_start                      # (num_tiles,) per SUBtile
     budget_overflow = total_live - jnp.sum(tile_count)
 
-    # 6. aligned layout: every aligned block of `align` pairs is one
-    # contiguous run of the tile-sorted pair list, so per-pair source indices
-    # are pure block-granular dense math (no scatter, no big searchsorted —
-    # both lower pathologically on TPU, PERF.md).
-    padded_counts = ((tile_count + align - 1) // align) * align
-    astart = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_counts).astype(jnp.int32)]
-    )
-    NP2 = ((NPb + align * num_tiles + align - 1) // align) * align
+    # 6. aligned supertile-interleaved layout: every aligned block of `align`
+    # pairs is one contiguous run of the tile-sorted pair list, so per-pair
+    # source indices are pure block-granular dense math (no scatter, no big
+    # searchsorted — both lower pathologically on TPU, PERF.md). Supertile s
+    # gets n_eff_s * G chunk-blocks, group streams interleaved at chunk
+    # granularity; each group's stream is padded to the supertile MAX so the
+    # kernels advance all G streams in lockstep with one DMA per chunk.
+    counts_sg = tile_count.reshape(num_super, G)
+    n_chunks_s = (jnp.max(counts_sg, axis=1) + align - 1) // align  # (num_super,)
+    if slot_budget == 0:
+        # exact no-drop bound vs a 1.5x-pairs heuristic (big scenes): the
+        # exact bound is smaller for small scenes (tests — never drops) and
+        # the heuristic caps the skew cost on production shapes; drops are
+        # counted in `overflow`, never silent. G == 1 keeps the per-tile
+        # exact bound (each tile wastes < align slots).
+        if G == 1:
+            slot_budget = NPb + align * num_tiles
+        else:
+            # pairs + per-supertile ceil padding + a skew allowance; the
+            # exact bound (left arm) wins for small scenes so tests never
+            # drop. Measured needs on the bench scene: G=2 ~240k, G=4 ~330k
+            # vs NPb 217k.
+            slot_budget = min(
+                G * NPb + G * align * num_super,
+                NPb + NPb // 8 + G * align * num_super,
+            )
+    NP2 = ((slot_budget + G * align - 1) // (G * align)) * (G * align)
     nb = NP2 // align
-    blocks = jnp.arange(nb, dtype=jnp.int32)
-    astart_b = astart // align
-    tob = jnp.clip(
-        jnp.searchsorted(astart_b[1:], blocks, side="right").astype(jnp.int32),
-        0, num_tiles - 1,
+    bstart0 = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(n_chunks_s * G).astype(jnp.int32)]
+    )  # block offsets before the slot clamp
+    # slot clamp: only a suffix of supertiles can exceed the static NP2 and at
+    # most one is partially clamped, so this single pass with the PRE-clamp
+    # offsets is exact.
+    n_eff = jnp.clip((nb - bstart0[:num_super]) // G, 0, n_chunks_s)
+    bstart = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(n_eff * G).astype(jnp.int32)]
     )
-    in_tail_b = blocks >= astart_b[num_tiles]
-    block_off = blocks * align - astart[tob]          # offset of block in its tile
+    count_eff = jnp.minimum(counts_sg, (n_eff * align)[:, None]).reshape(-1)
+    slot_overflow = jnp.sum(tile_count) - jnp.sum(count_eff)
+
+    blocks = jnp.arange(nb, dtype=jnp.int32)
+    sob = jnp.clip(
+        jnp.searchsorted(bstart[1:], blocks, side="right").astype(jnp.int32),
+        0, num_super - 1,
+    )  # supertile of block
+    in_tail_b = blocks >= bstart[num_super]
+    rel = blocks - bstart[sob]
+    if G > 1:
+        g_of_b = rel % G
+        c_of_b = rel // G
+    else:
+        g_of_b = jnp.zeros_like(rel)
+        c_of_b = rel
+    tob = sob * G + g_of_b                            # SUBtile of block
+    block_off = c_of_b * align                        # offset in its stream
     lane = jnp.arange(align, dtype=jnp.int32)[None, :]
     off = block_off[:, None] + lane                   # (nb, align)
-    in_range = (~in_tail_b[:, None]) & (off < tile_count[tob][:, None])
+    in_range = (~in_tail_b[:, None]) & (off < count_eff[tob][:, None])
     in_range = in_range.reshape(NP2)
 
     # 7. geometry: depth ranks at aligned positions, then ONE 64-byte row
@@ -458,8 +516,11 @@ def build_pair_rows(
     # same math on (NP2, 16) rows lowers to minor-dim-2/16 vectors + a
     # mixed-width concat (~1.8 ms/frame measured; this form is ~0.1 ms).
     geomT = rows.T                                    # (16, NP2)
-    ox = ((tob % grid_w) * tile_w).astype(geomT.dtype)   # (nb,)
-    oy = ((tob // grid_w) * tile_h).astype(geomT.dtype)
+    # local means are SUPERTILE-relative: in-kernel pixel x = x0_super + lane,
+    # so group g's pairs (lanes [g*sub_w, (g+1)*sub_w)) see their subtile's
+    # pixels automatically.
+    ox = ((sob % grid_w_sup) * (tile_w * G)).astype(geomT.dtype)   # (nb,)
+    oy = ((sob // grid_w_sup) * tile_h).astype(geomT.dtype)
     oxe = jnp.broadcast_to(ox[:, None], (nb, align)).reshape(1, NP2)
     oye = jnp.broadcast_to(oy[:, None], (nb, align)).reshape(1, NP2)
     live = in_range.astype(geomT.dtype)[None, :]      # (1, NP2)
@@ -476,10 +537,10 @@ def build_pair_rows(
     return PairLayout(
         rows=geomT,
         pair_valid=in_range,
-        tile_start=astart[:num_tiles],
-        tile_count=tile_count,
-        num_pairs=total_live - budget_overflow,
-        overflow=rect_overflow + budget_overflow,
+        tile_start=bstart[:num_super] * align,   # slot offset per SUPERTILE
+        tile_count=count_eff,                    # live pairs per SUBTILE
+        num_pairs=total_live - budget_overflow - slot_overflow,
+        overflow=rect_overflow + budget_overflow + slot_overflow,
     )
 
 

@@ -8,19 +8,33 @@ rasterizer_impl.cu binning) with the same numerical contract as the jnp oracle
 formulation of the sequential front-to-back blend.
 
 Design (see SURVEY.md §5.7, §7):
-  * 8x128-pixel tiles: one tile is exactly one native f32 (sublane, lane)
-    register tile, so per-tile accumulators ARE image blocks — the kernel
-    writes its (8, 128) output blocks straight into the (H, W) images via the
-    BlockSpec index map. (A 32x32 tile needs a tile->image relayout that XLA
-    lowers to a pathological elementwise copy: ~350 ms/frame measured.)
+  * 8x128-pixel SUPERTILES: one supertile is exactly one native f32
+    (sublane, lane) register tile, so per-tile accumulators ARE image blocks —
+    the kernel writes its (8, 128) output blocks straight into the (H, W)
+    images via the BlockSpec index map. (A 32x32 tile needs a tile->image
+    relayout that XLA lowers to a pathological elementwise copy: ~350 ms/frame
+    measured.)
+  * LANE-PACKED SUBTILES (groups G in {1, 2, 4}): splats are narrow relative
+    to 128 lanes, so binning runs at (8, 128/G)-pixel subtiles and each chunk
+    row carries G independent pairs — one per 128/G-lane group. Per-pair
+    scalars become lane-composite planes (G broadcasts + G-1 selects at 1/8
+    the cost of a full-block op); every lane then blends exactly its own
+    subtile's depth-ordered stream, so the per-pixel math is identical to
+    G=1. G=4 halves the chunk count on the bench scene
+    (tools/subtile_stats.py).
   * Binning on the XLA side (ops/binning.py): global depth sort + stable tile
-    sort + chunk-aligned per-tile slices of a TRANSPOSED (16, NPAIRS) pair
-    buffer; the kernel streams (16, CHUNK) column blocks with double-buffered
-    async DMA at 128-aligned lane offsets (a Mosaic requirement).
+    sort + chunk-aligned supertile-interleaved slices of a TRANSPOSED
+    (16, NPAIRS) pair buffer; the kernel streams (16, G*CHUNK) column blocks
+    with double-buffered async DMA at 128-aligned lane offsets (a Mosaic
+    requirement).
   * The inner blend is pure-VPU f32 on (CHUNK, 8, 128) blocks:
-      power  = -0.5(a dx^2 + c dy^2) - b dx dy   (tile-local deltas; an MXU
-               quadratic-form trick runs at bf16 input precision on v5e and
-               corrupts power through cancellation — measured 2.5e-3 rel)
+      power  = u0 + (u1 + u2 dy) dy  with u0 = -a dx^2 / 2, u1 = -b dx,
+               u2 = -c / 2 precomputed as (CHUNK, 1, 128) lane planes (dx
+               varies only along lanes) — fewer full-width ops than the
+               direct quadratic, and the lane-composite form for G > 1 falls
+               out for free. (An MXU quadratic-form trick runs at bf16 input
+               precision on v5e and corrupts power through cancellation —
+               measured 2.5e-3 rel.)
       alpha  = min(0.99, op * exp(power)) with the reference's skip rules
       T      = masked cumprod of (1 - alpha)   (the CUDA recurrence
                T *= (1 - alpha); the T < 1e-4 termination is a monotone
@@ -55,13 +69,19 @@ from .projection import Projected
 # interpreter mode lets the CPU test suite run the very same kernels
 INTERPRET = os.environ.get("MOSS_PALLAS_INTERPRET", "0") == "1"
 
-TILE_H = 8                # geometric tile = native f32 vreg tile
+TILE_H = 8                # geometric supertile = native f32 vreg tile
 TILE_W = 128
 PIX = TILE_H * TILE_W
-CHUNK = 128               # splats processed per inner step
+CHUNK = 128               # splats per group per inner step
 ALPHA_MAX = 0.99
 ALPHA_MIN = 1.0 / 255.0
 T_EPS = 1e-4
+
+# Default lane-group count: how many subtile streams share the 128 lanes.
+# Overridable per call; MOSS_RASTER_GROUPS sets the process default.
+# G=2 measured best end-to-end on the bench scene (G=4 has the fastest
+# kernels but its fatter pair buffer costs more in the build backward).
+DEFAULT_GROUPS = int(os.environ.get("MOSS_RASTER_GROUPS", "2"))
 
 # The pair buffer is stored TRANSPOSED, (16, NPAIRS). Row layout (f32):
 #  0 mx_local  1 my_local  2 conic_a  3 conic_b  4 conic_c
@@ -71,18 +91,31 @@ GEOM_COLS = 16
 #  0 dmx  1 dmy  2 da  3 db  4 dc  5 dop  6 dr  7 dg  8 db(lue)  9 ddepth
 
 
-def _pixel_coords():
-    """Tile-local pixel coords as (1, TILE_H, TILE_W) f32."""
-    px = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_H, TILE_W), 2).astype(jnp.float32)
-    py = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_H, TILE_W), 1).astype(jnp.float32)
-    return px, py
-
-
 def _col(g, i):
-    """Per-splat scalar column i of the (CHUNK, 16) block as (CHUNK, 1, 1).
+    """Per-splat scalar column i of the (K, 16) block as (K, 1, 1).
 
     Sliced 2D-first — 1-D intermediates crash the Mosaic layout pass."""
     return g[:, i:i + 1][:, :, None]
+
+
+def _composite2(cols, G):
+    """Merge per-group (K, 1) scalar columns into one (K, TILE_W) lane plane.
+
+    Lane l carries group (l // (TILE_W // G))'s value. 2-D (K, W) shapes pack
+    8 rows per vreg (16 vregs at K=128) — the 3-D (K, 1, W) form does NOT
+    pack (one sublane per row, 8x the vregs), which made a first lane-plane
+    formulation SLOWER than the full-width math it replaced (measured 16.6M
+    -> 11.3M rays/s). Cost here: G broadcasts + G-1 selects at ~1/8 of a
+    full-block op."""
+    K = cols[0].shape[0]
+    out = jnp.broadcast_to(cols[0], (K, TILE_W))
+    sub_w = TILE_W // G
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
+    for g in range(1, G):
+        out = jnp.where(
+            lane >= g * sub_w, jnp.broadcast_to(cols[g], (K, TILE_W)), out
+        )
+    return out
 
 
 def _scan_splats(x, op, unit):
@@ -137,27 +170,90 @@ def _shift_down_splats(x, fill):
     return jnp.where(rowid == 0, fill, pltpu.roll(x, 1, axis=0))
 
 
-def _chunk_blend(g, rowmask, T_in, done):
-    """Shared forward math for one (CHUNK, 16) geometry block.
+def _group_lane_sums(x, G):
+    """(K, W) -> list of G (K, 1) per-lane-group sums.
 
-    rowmask: (CHUNK, 1, 1) live-row mask. T_in/done: (1, TILE_H, TILE_W).
-    Returns (alpha, contrib, T_before, w, T_out, done_out); the
-    (CHUNK, TILE_H, TILE_W) arrays follow the oracle's masked-cumulative
-    contract exactly. Transmittance is tracked multiplicatively — the CUDA
-    recurrence T *= (1 - alpha) (forward.cu:351-364) becomes an inclusive
-    masked cumprod; T_before is the exclusive product (one shift), and the
-    T < 1e-4 termination is a monotone threshold on the inclusive product.
+    Direct masked native lane reductions — a log-tree of masked rolls was
+    ~3x slower (the native cross-lane reduce is far cheaper than its
+    log2(W) roll+select emulation)."""
+    if G == 1:
+        return [jnp.sum(x, axis=1, keepdims=True)]
+    W = x.shape[-1]
+    sub_w = W // G
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    return [
+        jnp.sum(
+            jnp.where((lane >= g * sub_w) & (lane < (g + 1) * sub_w), x, 0.0),
+            axis=1, keepdims=True,
+        )
+        for g in range(G)
+    ]
+
+
+class _Blend(NamedTuple):
+    alpha: jnp.ndarray      # (K, H, W)
+    contrib: jnp.ndarray    # (K, H, W) bool
+    T_before: jnp.ndarray   # (K, H, W)
+    w: jnp.ndarray          # (K, H, W)
+    T_out: jnp.ndarray      # (1, H, W)
+    done_out: jnp.ndarray   # (1, H, W)
+    dx: jnp.ndarray         # (K, ·, W) per-lane dx (composite for G > 1)
+    dy: jnp.ndarray         # (K, H, W)
+    dxw: jnp.ndarray        # (K, W) packed per-lane dx for the moment stage
+
+
+def _pixel_coords():
+    """Supertile-local pixel coords as (1, TILE_H, TILE_W) f32."""
+    px = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_H, TILE_W), 2).astype(jnp.float32)
+    py = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_H, TILE_W), 1).astype(jnp.float32)
+    return px, py
+
+
+def _chunk_blend(gs, rels, T_in, done, G):
+    """Shared forward math for one chunk of G group streams.
+
+    gs: list of G (K, 16) geometry blocks; rels: list of G () int32 live-row
+    counts (count_g - c*CHUNK). T_in/done: (1, TILE_H, TILE_W).
+    Each lane blends its own group's pair stream — the per-pixel math is the
+    oracle's masked-cumulative contract exactly; for G == 1 the dataflow is
+    byte-identical to the single-stream kernel (no composites). Transmittance
+    is tracked multiplicatively — the CUDA recurrence T *= (1 - alpha)
+    (forward.cu:351-364) becomes an inclusive masked cumprod; T_before is the
+    exclusive product (one shift), and the T < 1e-4 termination is a monotone
+    threshold on the inclusive product.
     """
+    K = gs[0].shape[0]
     px, py = _pixel_coords()
-    dx = _col(g, 0) - px  # (CHUNK, TILE_H, TILE_W)
-    dy = _col(g, 1) - py
-    a, b, c = _col(g, 2), _col(g, 3), _col(g, 4)
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (K, 1, 1), 0)
+    pxw = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1).astype(jnp.float32)
+
+    if G == 1:
+        g = gs[0]
+
+        def comp(i):   # (K, 1, 1) per-splat scalar, broadcast in use
+            return _col(g, i)
+
+        dxw = g[:, 0:1] - pxw            # (K, W) packed
+        rm = rowid < rels[0]
+    else:
+        def comp(i):   # (K, 1, W) lane-composite, packed 2-D then expanded
+            return _composite2([g_[:, i:i + 1] for g_ in gs], G)[:, None, :]
+
+        dxw = _composite2([g_[:, 0:1] for g_ in gs], G) - pxw  # (K, W)
+        # f32 composite — i1-vector selects hit an unsupported-bitwidth
+        # truncation in Mosaic.
+        rm = _composite2(
+            [jnp.where(rowid[:, :, 0] < r, 1.0, 0.0) for r in rels], G
+        )[:, None, :] > 0.5
+
+    dx = comp(0) - px                    # (K, H, W)
+    dy = comp(1) - py
+    a, b, c = comp(2), comp(3), comp(4)
     power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
-    op = _col(g, 5)
-    alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+    alpha = jnp.minimum(ALPHA_MAX, comp(5) * jnp.exp(power))
     # no valid-column test: all rows < count are live pairs by construction
     # (build_pair_rows), and zeroed pad rows give alpha = 0 < ALPHA_MIN.
-    m = rowmask & (power <= 0.0) & (alpha >= ALPHA_MIN)
+    m = rm & (power <= 0.0) & (alpha >= ALPHA_MIN)
     one_m_a = jnp.where(m, 1.0 - alpha, 1.0)
     cumT = T_in * _cumprod_splats(one_m_a)  # inclusive candidate T
     fired = (cumT < T_EPS) | (done > 0.5)
@@ -169,20 +265,34 @@ def _chunk_blend(g, rowmask, T_in, done):
     # lowerable in Mosaic, reduce_min is.
     T_out = jnp.min(jnp.where(contrib, cumT, T_in), axis=0, keepdims=True)
     done_out = jnp.maximum(done, fired[-1:].astype(jnp.float32))
-    return alpha, contrib, T_before, w, T_out, done_out
+    return _Blend(alpha, contrib, T_before, w, T_out, done_out, dx, dy,
+                  dxw), comp
 
 
-def _fwd_kernel(gw: int, start_ref, count_ref, geom_hbm,
+def _group_geoms(scratch_block, G, K):
+    """Slice the (16, G*CHUNK) chunk block into G (K, 16) group geometries."""
+    return [
+        jnp.transpose(scratch_block[:, g * CHUNK:g * CHUNK + K], (1, 0))
+        for g in range(G)
+    ]
+
+
+def _fwd_kernel(gw: int, G: int, start_ref, count_ref, geom_hbm,
                 r_ref, g_ref, b_ref, d_ref, a_ref, t_ref,
                 scratch, sems):
     t = pl.program_id(0)
-    start = start_ref[t]
-    count = count_ref[t]
-    n_chunks = (count + CHUNK - 1) // CHUNK
+    base = start_ref[t]
+    counts = [count_ref[t * G + g] for g in range(G)]
+    maxc = counts[0]
+    for g in range(1, G):
+        maxc = jnp.maximum(maxc, counts[g])
+    n_chunks = (maxc + CHUNK - 1) // CHUNK
 
     def get_dma(slot, c):
         return pltpu.make_async_copy(
-            geom_hbm.at[:, pl.ds(pl.multiple_of(start + c * CHUNK, CHUNK), CHUNK)],
+            geom_hbm.at[:, pl.ds(
+                pl.multiple_of(base + c * (G * CHUNK), CHUNK), G * CHUNK
+            )],
             scratch.at[slot],
             sems.at[slot],
         )
@@ -200,22 +310,21 @@ def _fwd_kernel(gw: int, start_ref, count_ref, geom_hbm,
         claws back about half of the 128-granularity padding waste (~13% of
         pairs on the bench scene, PERF.md).
         """
-        rowid = jax.lax.broadcasted_iota(jnp.int32, (K, 1, 1), 0)
 
         def live(carry):
             T, done, acc_r, acc_g, acc_b, acc_d, acc_a, _ = carry
-            g = jnp.transpose(scratch[slot][:, :K], (1, 0))  # (K, 16)
-            rowmask = rowid < (count - c * CHUNK)
-            _al, _ct, _tb, w, T, done = _chunk_blend(
-                g, rowmask, T, done
-            )
-            acc_r = acc_r + jnp.sum(w * _col(g, 6), axis=0, keepdims=True)
-            acc_g = acc_g + jnp.sum(w * _col(g, 7), axis=0, keepdims=True)
-            acc_b = acc_b + jnp.sum(w * _col(g, 8), axis=0, keepdims=True)
-            acc_d = acc_d + jnp.sum(w * _col(g, 9), axis=0, keepdims=True)
+            gs = _group_geoms(scratch[slot], G, K)
+            rels = [cg - c * CHUNK for cg in counts]
+            bl, comp = _chunk_blend(gs, rels, T, done, G)
+            w = bl.w
+            acc_r = acc_r + jnp.sum(w * comp(6), axis=0, keepdims=True)
+            acc_g = acc_g + jnp.sum(w * comp(7), axis=0, keepdims=True)
+            acc_b = acc_b + jnp.sum(w * comp(8), axis=0, keepdims=True)
+            acc_d = acc_d + jnp.sum(w * comp(9), axis=0, keepdims=True)
             acc_a = acc_a + jnp.sum(w, axis=0, keepdims=True)
-            stop = (jnp.min(done) > 0.5).astype(jnp.int32)
-            return T, done, acc_r, acc_g, acc_b, acc_d, acc_a, stop
+            stop = (jnp.min(bl.done_out) > 0.5).astype(jnp.int32)
+            return (bl.T_out, bl.done_out, acc_r, acc_g, acc_b, acc_d, acc_a,
+                    stop)
 
         return live
 
@@ -223,7 +332,7 @@ def _fwd_kernel(gw: int, start_ref, count_ref, geom_hbm,
         stop = carry[-1]
         slot = jax.lax.rem(c, 2)
 
-        # DMAs run unconditionally (cheap; ~20 MB/frame total) so the
+        # DMAs run unconditionally (cheap; ~30 MB/frame total) so the
         # issue/wait pairing stays trivially consistent; only the VPU work is
         # skipped once every pixel in the tile has terminated (the reference
         # kernel's per-thread `done` voting, forward.cu:314-316, becomes this
@@ -234,7 +343,7 @@ def _fwd_kernel(gw: int, start_ref, count_ref, geom_hbm,
 
         get_dma(slot, c).wait()
 
-        is_half_tail = (c == n_chunks - 1) & (count - c * CHUNK <= CHUNK // 2)
+        is_half_tail = (c == n_chunks - 1) & (maxc - c * CHUNK <= CHUNK // 2)
 
         def full_or_dead(carry):
             return jax.lax.cond(
@@ -263,16 +372,21 @@ def _fwd_kernel(gw: int, start_ref, count_ref, geom_hbm,
     t_ref[:] = T[0]
 
 
-def _bwd_kernel(gw: int, start_ref, count_ref, geom_hbm, gimg_ref, grad_hbm,
-                scratch, out_scratch, sems, out_sems):
+def _bwd_kernel(gw: int, G: int, start_ref, count_ref, geom_hbm, gimg_ref,
+                grad_hbm, scratch, out_scratch, sems, out_sems):
     t = pl.program_id(0)
-    start = start_ref[t]
-    count = count_ref[t]
-    n_chunks = (count + CHUNK - 1) // CHUNK
+    base = start_ref[t]
+    counts = [count_ref[t * G + g] for g in range(G)]
+    maxc = counts[0]
+    for g in range(1, G):
+        maxc = jnp.maximum(maxc, counts[g])
+    n_chunks = (maxc + CHUNK - 1) // CHUNK
 
     def get_dma(slot, c):
         return pltpu.make_async_copy(
-            geom_hbm.at[:, pl.ds(pl.multiple_of(start + c * CHUNK, CHUNK), CHUNK)],
+            geom_hbm.at[:, pl.ds(
+                pl.multiple_of(base + c * (G * CHUNK), CHUNK), G * CHUNK
+            )],
             scratch.at[slot],
             sems.at[slot],
         )
@@ -280,7 +394,9 @@ def _bwd_kernel(gw: int, start_ref, count_ref, geom_hbm, gimg_ref, grad_hbm,
     def put_dma(slot, c):
         return pltpu.make_async_copy(
             out_scratch.at[slot],
-            grad_hbm.at[:, pl.ds(pl.multiple_of(start + c * CHUNK, CHUNK), CHUNK)],
+            grad_hbm.at[:, pl.ds(
+                pl.multiple_of(base + c * (G * CHUNK), CHUNK), G * CHUNK
+            )],
             out_sems.at[slot],
         )
 
@@ -298,19 +414,18 @@ def _bwd_kernel(gw: int, start_ref, count_ref, geom_hbm, gimg_ref, grad_hbm,
         # K < CHUNK: half-width tail path (see _fwd_kernel.make_live) — the
         # produced grad rows are padded back to (CHUNK, 16) with zeros, which
         # is exactly what the full path writes for those dead rows.
-        rowid = jax.lax.broadcasted_iota(jnp.int32, (K, 1, 1), 0)
+        rowid2 = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
 
         def live(carry):
             T, done, prefix, _ = carry
-            g = jnp.transpose(scratch[slot][:, :K], (1, 0))  # (K, 16)
-            rowmask = rowid < (count - c * CHUNK)
-            alpha, contrib, T_before, w, T_out, done_out = _chunk_blend(
-                g, rowmask, T, done
-            )
+            gs = _group_geoms(scratch[slot], G, K)
+            rels = [cg - c * CHUNK for cg in counts]
+            bl, comp = _chunk_blend(gs, rels, T, done, G)
+            alpha, contrib, T_before, w = bl.alpha, bl.contrib, bl.T_before, bl.w
             dLdw = (
-                _col(g, 6) * g_r + _col(g, 7) * g_g + _col(g, 8) * g_b
-                + _col(g, 9) * g_d + g_a
-            )  # (CHUNK, TILE_H, TILE_W)
+                comp(6) * g_r + comp(7) * g_g + comp(8) * g_b
+                + comp(9) * g_d + g_a
+            )  # (K, TILE_H, TILE_W)
             q = w * dLdw
             prefix_incl = prefix + _cumsum_splats(q)
             s_after = Qtot - prefix_incl
@@ -319,61 +434,73 @@ def _bwd_kernel(gw: int, start_ref, count_ref, geom_hbm, gimg_ref, grad_hbm,
             )
             dpower = dalpha * alpha * (alpha < ALPHA_MAX).astype(jnp.float32)
 
-            px, py = _pixel_coords()
-            dx = _col(g, 0) - px
-            dy = _col(g, 1) - py
-            a2, b2, c2 = g[:, 2:3], g[:, 3:4], g[:, 4:5]  # (CHUNK, 1)
-
-            # Two-stage reductions, sublane axis first: the (CHUNK, TILE_W)
-            # intermediates pack 8x denser than (CHUNK, TILE_H, TILE_W), so
-            # the lane-reduction tree runs on 16 vregs instead of 128.
-            # dx is constant over sublanes, so the dx-weighted moments (da, db)
-            # drop to the cheap (CHUNK, W) lane stage: sum_hw f*dx*g =
+            # Two-stage reductions, sublane axis first: the (K, TILE_W)
+            # intermediates pack 8x denser than (K, TILE_H, TILE_W), so the
+            # lane-reduction stage runs on 16 vregs instead of 128. dx is
+            # constant over sublanes, so the dx-weighted moments (da, db)
+            # drop to the cheap (K, W) lane stage: sum_hw f*dx*g =
             # sum_w dx_w * (sum_h f*g) — exact reassociation, no extra
-            # full-block multiplies.
-            def ssum(x):  # (CHUNK, H, W) -> (CHUNK, W)
+            # full-block multiplies. The lane stage is SEGMENTED per group
+            # (G independent sums per row, _seg_lane_sum).
+            def ssum(x):  # (K, H, W) -> (K, W)
                 return jnp.sum(x, axis=1)
 
-            def ls(x2):   # (CHUNK, W) -> (CHUNK, 1)
-                return jnp.sum(x2, axis=1, keepdims=True)
-
-            fdx = dpower * dx
-            fdy = dpower * dy
-            A0 = ssum(fdx)            # (CHUNK, W)
+            dxw = bl.dxw              # (K, W) packed per-lane dx
+            fdx = dpower * bl.dx
+            fdy = dpower * bl.dy
+            A0 = ssum(fdx)            # (K, W)
             B0 = ssum(fdy)
-            pxw = jax.lax.broadcasted_iota(
-                jnp.int32, (1, TILE_W), 1
-            ).astype(jnp.float32)
-            dxw = g[:, 0:1] - pxw     # (CHUNK, W): dx per lane
-            sfx = ls(A0)
-            sfy = ls(B0)
-            da = -0.5 * ls(A0 * dxw)
-            dc = -0.5 * ls(ssum(fdy * dy))
-            db = -ls(B0 * dxw)
-            dmx = -(a2 * sfx + b2 * sfy)
-            dmy = -(c2 * sfy + b2 * sfx)
-            op = jnp.maximum(g[:, 5:6], 1e-12)
-            dop = ls(ssum(dpower)) / op
-            dr = ls(ssum(w * g_r))
-            dg = ls(ssum(w * g_g))
-            dbl = ls(ssum(w * g_b))
-            dd = ls(ssum(w * g_d))
-            zeros = jnp.zeros_like(da)
-            grad_rows = jnp.concatenate(
-                [dmx, dmy, da, db, dc, dop, dr, dg, dbl, dd,
-                 zeros, zeros, zeros, zeros, zeros, zeros],
-                axis=1,
-            )  # (K, 16)
-            rm2 = rowid.reshape(K, 1) < (count - c * CHUNK)
-            grad_rows = jnp.where(rm2, grad_rows, 0.0)
-            if K < CHUNK:
+            reds = [
+                A0,                   # -> sfx
+                B0,                   # -> sfy
+                A0 * dxw,             # -> -2 da
+                B0 * dxw,             # -> -db
+                ssum(fdy * bl.dy),    # -> -2 dc
+                ssum(dpower),         # -> dop * op
+                ssum(w * g_r),        # -> dr
+                ssum(w * g_g),        # -> dg
+                ssum(w * g_b),        # -> dblue
+                ssum(w * g_d),        # -> ddepth
+            ]
+            reds = [_group_lane_sums(x, G) for x in reds]
+
+            grad_blocks = []
+            for g in range(G):
+                def gl(r, g=g):  # group-g lane sum as (K, 1)
+                    return r[g]
+
+                sfx, sfy = gl(reds[0]), gl(reds[1])
+                da = -0.5 * gl(reds[2])
+                db = -gl(reds[3])
+                dc = -0.5 * gl(reds[4])
+                gg_ = gs[g]
+                a2, b2, c2 = gg_[:, 2:3], gg_[:, 3:4], gg_[:, 4:5]
+                dmx = -(a2 * sfx + b2 * sfy)
+                dmy = -(c2 * sfy + b2 * sfx)
+                op = jnp.maximum(gg_[:, 5:6], 1e-12)
+                dop = gl(reds[5]) / op
+                dr, dg, dbl, dd = (gl(reds[6]), gl(reds[7]), gl(reds[8]),
+                                   gl(reds[9]))
+                zeros = jnp.zeros_like(da)
                 grad_rows = jnp.concatenate(
-                    [grad_rows, jnp.zeros((CHUNK - K, GEOM_COLS), jnp.float32)],
-                    axis=0,
-                )
+                    [dmx, dmy, da, db, dc, dop, dr, dg, dbl, dd,
+                     zeros, zeros, zeros, zeros, zeros, zeros],
+                    axis=1,
+                )  # (K, 16)
+                rm2 = rowid2 < (counts[g] - c * CHUNK)
+                grad_rows = jnp.where(rm2, grad_rows, 0.0)
+                if K < CHUNK:
+                    grad_rows = jnp.concatenate(
+                        [grad_rows,
+                         jnp.zeros((CHUNK - K, GEOM_COLS), jnp.float32)],
+                        axis=0,
+                    )
+                grad_blocks.append(jnp.transpose(grad_rows, (1, 0)))
+            out_block = (grad_blocks[0] if G == 1
+                         else jnp.concatenate(grad_blocks, axis=1))
             prefix_out = prefix + jnp.sum(q, axis=0, keepdims=True)
-            stop = (jnp.min(done_out) > 0.5).astype(jnp.int32)
-            return (T_out, done_out, prefix_out, stop), grad_rows
+            stop = (jnp.min(bl.done_out) > 0.5).astype(jnp.int32)
+            return (bl.T_out, bl.done_out, prefix_out, stop), out_block
 
         return live
 
@@ -388,9 +515,9 @@ def _bwd_kernel(gw: int, start_ref, count_ref, geom_hbm, gimg_ref, grad_hbm,
         get_dma(slot, c).wait()
 
         def dead(carry):
-            return carry, jnp.zeros((CHUNK, GEOM_COLS), jnp.float32)
+            return carry, jnp.zeros((GEOM_COLS, G * CHUNK), jnp.float32)
 
-        is_half_tail = (c == n_chunks - 1) & (count - c * CHUNK <= CHUNK // 2)
+        is_half_tail = (c == n_chunks - 1) & (maxc - c * CHUNK <= CHUNK // 2)
 
         def full_or_dead(carry):
             return jax.lax.cond(stop0 == 0, make_live(c, slot, CHUNK), dead, carry)
@@ -400,7 +527,7 @@ def _bwd_kernel(gw: int, start_ref, count_ref, geom_hbm, gimg_ref, grad_hbm,
                 stop0 == 0, make_live(c, slot, CHUNK // 2), dead, carry
             )
 
-        carry, grad_rows = jax.lax.cond(
+        carry, out_block = jax.lax.cond(
             is_half_tail, half_or_dead, full_or_dead, carry
         )
 
@@ -408,7 +535,7 @@ def _bwd_kernel(gw: int, start_ref, count_ref, geom_hbm, gimg_ref, grad_hbm,
         def _():
             put_dma(slot, c - 2).wait()
 
-        out_scratch[slot] = jnp.transpose(grad_rows, (1, 0))  # (16, CHUNK)
+        out_scratch[slot] = out_block   # (16, G*CHUNK)
         put_dma(slot, c).start()
         return carry
 
@@ -425,8 +552,8 @@ def _bwd_kernel(gw: int, start_ref, count_ref, geom_hbm, gimg_ref, grad_hbm,
         put_dma(jax.lax.rem(n_chunks - 1, 2), n_chunks - 1).wait()
 
 
-def _run_fwd(tile_start, tile_count, geom, grid_h: int, grid_w: int):
-    num_tiles = grid_h * grid_w
+def _run_fwd(tile_start, tile_count, geom, grid_h: int, grid_w: int, G: int):
+    num_tiles = grid_h * grid_w   # supertiles
     Hp, Wp = grid_h * TILE_H, grid_w * TILE_W
     img_spec = pl.BlockSpec(
         (TILE_H, TILE_W),
@@ -439,21 +566,22 @@ def _run_fwd(tile_start, tile_count, geom, grid_h: int, grid_w: int):
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[img_spec] * 6,
         scratch_shapes=[
-            pltpu.VMEM((2, GEOM_COLS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, GEOM_COLS, G * CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     img = jax.ShapeDtypeStruct((Hp, Wp), jnp.float32)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, grid_w),
+        functools.partial(_fwd_kernel, grid_w, G),
         out_shape=[img] * 6,
         grid_spec=grid_spec,
         interpret=INTERPRET,
     )(tile_start, tile_count, geom)
 
 
-def _run_bwd(tile_start, tile_count, geom, gimg, grid_h: int, grid_w: int):
-    num_tiles = grid_h * grid_w
+def _run_bwd(tile_start, tile_count, geom, gimg, grid_h: int, grid_w: int,
+             G: int):
+    num_tiles = grid_h * grid_w   # supertiles
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -467,14 +595,14 @@ def _run_bwd(tile_start, tile_count, geom, gimg, grid_h: int, grid_w: int):
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, GEOM_COLS, CHUNK), jnp.float32),
-            pltpu.VMEM((2, GEOM_COLS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, GEOM_COLS, G * CHUNK), jnp.float32),
+            pltpu.VMEM((2, GEOM_COLS, G * CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, grid_w),
+        functools.partial(_bwd_kernel, grid_w, G),
         out_shape=jax.ShapeDtypeStruct(geom.shape, jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -483,13 +611,13 @@ def _run_bwd(tile_start, tile_count, geom, gimg, grid_h: int, grid_w: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_rasterize_pairs(grid_h: int, grid_w: int):
+def _make_rasterize_pairs(grid_h: int, grid_w: int, G: int):
     @jax.custom_vjp
     def f(geom, tile_start, tile_count):
-        return _run_fwd(tile_start, tile_count, geom, grid_h, grid_w)
+        return _run_fwd(tile_start, tile_count, geom, grid_h, grid_w, G)
 
     def fwd(geom, tile_start, tile_count):
-        out = _run_fwd(tile_start, tile_count, geom, grid_h, grid_w)
+        out = _run_fwd(tile_start, tile_count, geom, grid_h, grid_w, G)
         return out, (geom, tile_start, tile_count, out)
 
     def bwd(res, g_out):
@@ -501,7 +629,7 @@ def _make_rasterize_pairs(grid_h: int, grid_w: int):
         zeros = jnp.zeros_like(Qtot)
         gimg = jnp.stack([gr, gg, gb, gd, ga, zeros, Qtot, tail], axis=0)[None]
         # (1, 8, Hp, Wp)
-        dgeom = _run_bwd(tile_start, tile_count, geom, gimg, grid_h, grid_w)
+        dgeom = _run_bwd(tile_start, tile_count, geom, gimg, grid_h, grid_w, G)
         return (
             dgeom,
             np.zeros(tile_start.shape, jax.dtypes.float0),
@@ -522,7 +650,7 @@ class _TileGeometry(NamedTuple):
 
 
 def _build_pairs(proj: Projected, height, width, max_tiles_per_gaussian,
-                 pair_budget: int = 0):
+                 pair_budget: int = 0, groups: int = 1):
     grid_h = -(-height // TILE_H)
     grid_w = -(-width // TILE_W)
     pl_ = build_pair_rows(
@@ -530,10 +658,10 @@ def _build_pairs(proj: Projected, height, width, max_tiles_per_gaussian,
         proj.radius, proj.valid,
         height, width, TILE_H, TILE_W, max_tiles_per_gaussian,
         pair_budget=pair_budget, align=CHUNK,
-        radius_xy=proj.radius_xy,
+        radius_xy=proj.radius_xy, groups=groups,
     )
     # build_pair_rows returns the (16, NP2) TRANSPOSED pair buffer directly:
-    # the kernels DMA (16, CHUNK) column blocks at 128-aligned lane offsets
+    # the kernels DMA (16, G*CHUNK) column blocks at 128-aligned lane offsets
     # (a Mosaic requirement; row-major (CHUNK, 16) VMEM slices violate the
     # 128-lane tiling). Local coords, validity column, and the dead-column
     # gradient barrier are already applied.
@@ -550,7 +678,8 @@ def _build_pairs(proj: Projected, height, width, max_tiles_per_gaussian,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("height", "width", "max_tiles_per_gaussian", "pair_budget"),
+    static_argnames=("height", "width", "max_tiles_per_gaussian",
+                     "pair_budget", "groups"),
 )
 def rasterize_tpu(
     proj: Projected,
@@ -559,18 +688,26 @@ def rasterize_tpu(
     width: int,
     max_tiles_per_gaussian: int = 16,
     pair_budget: int = 0,
+    groups: int = 0,
 ):
     """Drop-in replacement for rasterize_reference on TPU (same return dict).
 
     Differentiable w.r.t. proj.{mean2d, conic, color, opacity, depth} and
     bg_color: the kernel's per-pair gradients flow back to Gaussians through
     the gather's transpose (a deterministic scatter-add).
+
+    groups selects the lane-packed subtile factor (see module docstring);
+    0 = module default (DEFAULT_GROUPS / MOSS_RASTER_GROUPS). The per-pixel
+    blend math is group-independent; only the binning granularity (and thus
+    which rect-boundary pixels a splat's tiles cover — the same semantic
+    freedom the reference exercises with its 16x16 tile choice) varies.
     """
+    G = groups or DEFAULT_GROUPS
     tg, grid_h, grid_w = _build_pairs(
-        proj, height, width, max_tiles_per_gaussian, pair_budget
+        proj, height, width, max_tiles_per_gaussian, pair_budget, G
     )
 
-    r, g, b, d, a, T = _make_rasterize_pairs(grid_h, grid_w)(
+    r, g, b, d, a, T = _make_rasterize_pairs(grid_h, grid_w, G)(
         tg.geom, tg.tile_start, tg.tile_count
     )
 

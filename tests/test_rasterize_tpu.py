@@ -164,3 +164,76 @@ class TestBackwardParity:
         g = jax.grad(loss)(jnp.array([0.1, 0.2, 0.3]))
         expect = float(jnp.sum(rasterize_tpu(proj, jnp.zeros(3), H, W)["final_T"]))
         np.testing.assert_allclose(np.asarray(g), expect, rtol=1e-4)
+
+
+class TestLanePackedGroups:
+    """groups > 1 packs G subtile streams into the 128-lane vregs; the
+    per-pixel blend must match the oracle binned at the same subtile width."""
+
+    @pytest.mark.parametrize("groups", [2, 4])
+    def test_forward_matches_oracle(self, rng, groups):
+        H = W = 64
+        cam = make_camera(H, W)
+        proj = project_scene(rng, cam, n=60)
+        bg = jnp.array([0.9, 0.4, 0.1])
+        ref = rasterize_reference(
+            proj, bg, H, W, tile_h=TILE_H, tile_w=TILE_W // groups
+        )
+        out = rasterize_tpu(proj, bg, H, W, groups=groups)
+        assert int(out["overflow"]) == 0
+        assert_images_match(out["color"], ref["color"])
+        assert_images_match(out["alpha"], ref["alpha"])
+        assert_images_match(out["depth"], ref["depth"], atol=1e-4)
+        assert_images_match(out["final_T"], ref["final_T"])
+
+    @pytest.mark.parametrize("groups", [2, 4])
+    def test_grads_match_oracle(self, rng, groups):
+        H = W = 64
+        cam = make_camera(H, W)
+        means, scales, quats, colors, opacity = random_scene(
+            rng, n=40, opacity_max=0.9
+        )
+        target = jnp.asarray(rng.uniform(size=(H, W, 3)).astype(np.float32))
+        bg = jnp.array([0.5, 0.5, 0.5])
+
+        def loss(raster, args):
+            means, log_scales, quats, colors, raw_op = args
+            cov3d = tf.build_covariance(jnp.exp(log_scales), quats)
+            proj = preprocess(means, cov3d, colors, jax.nn.sigmoid(raw_op), cam)
+            if raster == "ref":
+                out = rasterize_reference(
+                    proj, bg, H, W, tile_h=TILE_H, tile_w=TILE_W // groups
+                )
+            else:
+                out = rasterize_tpu(proj, bg, H, W, groups=groups)
+            return (
+                jnp.mean((out["color"] - target) ** 2)
+                + 0.1 * jnp.mean(out["alpha"])
+                + 0.01 * jnp.mean(out["depth"])
+            )
+
+        args = (
+            jnp.asarray(means), jnp.log(jnp.asarray(scales)), jnp.asarray(quats),
+            jnp.asarray(colors), jnp.asarray(opacity),
+        )
+        g_ref = jax.grad(lambda a: loss("ref", a))(args)
+        g_tpu = jax.grad(lambda a: loss("tpu", a))(args)
+        names = ["means", "log_scales", "quats", "colors", "raw_op"]
+        for name, gr, gt in zip(names, g_ref, g_tpu):
+            gr, gt = np.asarray(gr), np.asarray(gt)
+            assert np.all(np.isfinite(gt)), name
+            scale = np.abs(gr).max() + 1e-8
+            np.testing.assert_allclose(
+                gt / scale, gr / scale, atol=5e-4,
+                err_msg=f"gradient mismatch for {name} at groups={groups}",
+            )
+
+    def test_non_multiple_image_size_groups(self, rng):
+        H, W = 48, 80
+        cam = make_camera(H, W)
+        proj = project_scene(rng, cam, n=40)
+        bg = jnp.array([0.2, 0.2, 0.2])
+        ref = rasterize_reference(proj, bg, H, W, tile_h=TILE_H, tile_w=32)
+        out = rasterize_tpu(proj, bg, H, W, groups=4)
+        assert out["color"].shape == (H, W, 3)
+        assert_images_match(out["color"], ref["color"])

@@ -31,6 +31,7 @@ def queued_time(fn, *args, n: int = 10):
 
 
 def main():
+    import os
     from moss_tpu.ops import transforms as tf
     from moss_tpu.ops.projection import preprocess
     from moss_tpu.ops import rasterize_tpu as rt
@@ -38,6 +39,8 @@ def main():
 
     if jax.devices()[0].platform == "cpu":
         rt.INTERPRET = True
+    G = int(os.environ.get("MOSS_RASTER_GROUPS", "1"))
+    print(f"groups={G}")
 
     H = W = 512
     P = 46080
@@ -70,21 +73,21 @@ def main():
     # --- stage: pair build fwd only
     @jax.jit
     def build_fwd(fields, pr):
-        tg, gh, gw = rt._build_pairs(with_fields(pr, fields), H, W, 16, 0)
+        tg, gh, gw = rt._build_pairs(with_fields(pr, fields), H, W, 16, 0, G)
         return jnp.sum(tg.geom) + jnp.sum(tg.tile_count)
 
     # --- stage: pair build fwd+bwd
     @jax.jit
     def build_fwdbwd(fields, pr):
         def f(fields):
-            tg, gh, gw = rt._build_pairs(with_fields(pr, fields), H, W, 16, 0)
+            tg, gh, gw = rt._build_pairs(with_fields(pr, fields), H, W, 16, 0, G)
             return jnp.sum(tg.geom * tg.geom)
         g = jax.grad(f)(fields)
         return sum(jnp.sum(jnp.abs(x)) for x in g)
 
     # --- stage: kernel only (prebuilt pairs), fwd and fwd+bwd
-    tg, grid_h, grid_w = rt._build_pairs(proj, H, W, 16, 0)
-    kern = rt._make_rasterize_pairs(int(grid_h), int(grid_w))
+    tg, grid_h, grid_w = rt._build_pairs(proj, H, W, 16, 0, G)
+    kern = rt._make_rasterize_pairs(int(grid_h), int(grid_w), G)
 
     @jax.jit
     def kernel_fwd(geom, ts, tc):
@@ -101,7 +104,7 @@ def main():
     # --- full pipeline
     @jax.jit
     def full_fwd(fields, pr):
-        o = rt.rasterize_tpu(with_fields(pr, fields), bg, H, W)
+        o = rt.rasterize_tpu(with_fields(pr, fields), bg, H, W, groups=G)
         return jnp.sum(o["color"]) + jnp.sum(o["alpha"]) + 0.01 * jnp.sum(o["depth"])
 
     @jax.jit
