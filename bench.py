@@ -77,6 +77,22 @@ def main():
     )
     bg = jnp.zeros(3)
 
+    # Size the static pair buffer to this scene's measured need (+6% and a
+    # 16k bucket to absorb jitter) — the TPU analog of the reference's
+    # per-frame arena resizing (rasterize_points.cu:27-33): the backward
+    # scatter-add and row gather scale with the buffer, and the safe default
+    # heuristic overshoots the measured need by ~40%. Drops (impossible for
+    # this exact cloud) would be counted in overflow, never silent.
+    from moss_tpu.ops.binning import measure_slot_need
+    need = int(jax.jit(
+        lambda p: measure_slot_need(
+            p.mean2d, p.conic, p.opacity, p.depth, p.radius, p.valid,
+            H, W, rt.TILE_H, rt.TILE_W, groups=rt.DEFAULT_GROUPS,
+            radius_xy=p.radius_xy,
+        )["need"]
+    )(proj))
+    slot_budget = -(-int(need * 1.06) // 16384) * 16384
+
     def loss_with(raster_fn, fields, pr):
         o = raster_fn(
             pr._replace(
@@ -98,7 +114,10 @@ def main():
         )
 
     # Pallas fwd+bwd
-    f_pallas = gradsum(rt.rasterize_tpu)
+    def raster_sized(pr, bgc, h, w):
+        return rt.rasterize_tpu(pr, bgc, h, w, slot_budget=slot_budget)
+
+    f_pallas = gradsum(raster_sized)
     dt_pallas = _queued_time(f_pallas, args, proj, n=10)
     rays_pallas = H * W / dt_pallas
 

@@ -250,6 +250,178 @@ class PairLayout(NamedTuple):
     overflow: jnp.ndarray
 
 
+
+class _PairKeys(NamedTuple):
+    """Steps 1-5 of the pair build: tile-sorted packed keys + per-tile counts."""
+
+    order: jnp.ndarray            # (P,) depth order
+    keys_b: jnp.ndarray           # (NPb,) tile-sorted (tile << KB | rank) keys
+    t_start: jnp.ndarray          # (num_tiles,) per-SUBtile start in keys_b
+    tile_count: jnp.ndarray       # (num_tiles,) live pairs per subtile
+    total_live: jnp.ndarray       # () live pairs before the NPb budget cut
+    budget_overflow: jnp.ndarray  # () pairs dropped by the NPb cut
+    rect_overflow: jnp.ndarray    # () tiles dropped by the per-Gaussian budget
+
+
+def _pair_keys(mean2d, conic, opacity, depth, radius, valid,
+               height: int, width: int, tile_h: int, tile_w: int,
+               max_tiles_per_gaussian: int, pair_budget: int, align: int,
+               groups: int, radius_xy):
+    """Shared front half of the binning pipeline (see build_pair_rows)."""
+    P = mean2d.shape[0]
+    G = groups
+    assert tile_w % G == 0 and align % 8 == 0
+    sub_w = tile_w // G
+    grid_h = -(-height // tile_h)
+    grid_w_sup = -(-width // tile_w)       # geometric supertile columns
+    grid_w = grid_w_sup * G                # binning runs at subtile granularity
+    num_tiles = grid_h * grid_w            # number of SUBtiles
+    num_super = grid_h * grid_w_sup
+    tile_w = sub_w
+    B = max_tiles_per_gaussian
+
+    # rank bits: depth rank < P
+    KB = max(int(np.ceil(np.log2(max(P, 2)))), 1)
+    assert (num_tiles + 1) < (1 << (31 - KB)), (
+        f"packed key overflow: {num_tiles} tiles with {KB} rank bits"
+    )
+
+    # 1. depth order + inverse ranks. Keys are built on the ORIGINAL index
+    # space with rank = inv_order[i] — per-element int gathers cost a flat
+    # ~7.5 ns/elem on TPU, so one P-sized inverse beats five P-sized
+    # gather-by-order's.
+    sort_depth = jnp.where(valid, depth, jnp.inf)
+    order = jnp.argsort(sort_depth).astype(jnp.int32)  # (P,)
+    inv_order = jnp.argsort(order).astype(jnp.int32)   # depth rank of each i
+
+    # 2. tile rects (AABB-tightened when extents are given)
+    if radius_xy is not None:
+        min_y, min_x, max_y, max_x = tile_rect_aabb(
+            mean2d, radius, radius_xy, grid_h, grid_w, tile_h, tile_w
+        )
+    else:
+        min_y, min_x, max_y, max_x = tile_rect(
+            mean2d, radius, grid_h, grid_w, tile_h, tile_w
+        )
+    n_x = max_x - min_x
+    n_tiles = n_x * (max_y - min_y)
+    rect_overflow = jnp.sum(jnp.where(valid, jnp.maximum(n_tiles - B, 0), 0))
+
+    # 3. packed keys, one sort — all pair-table math in the TRANSPOSED (B, P)
+    # layout: (P, B=16) arrays lower to minor-dim-16 vectors (7/8 of every
+    # vreg idle, PERF.md); the same ops at (B, P) are fully lane-parallel.
+    # The flattening order feeding the sort is irrelevant (single-key sort).
+    slot = jnp.arange(B, dtype=jnp.int32)[:, None]           # (B, 1)
+    n_x_safe = jnp.maximum(n_x, 1)[None, :]                  # (1, P)
+    ty = min_y[None, :] + slot // n_x_safe                   # (B, P)
+    tx = min_x[None, :] + slot % n_x_safe
+    pair_live = valid[None, :] & (slot < jnp.minimum(n_tiles, B)[None, :])
+
+    # 3b. exact peak-alpha tile cull: drop (splat, tile) pairs whose max
+    # alpha over the tile's pixel grid is < 1/255 — the blend kernel's
+    # ALPHA_MIN skip (forward.cu:341-349 semantics) zeroes those pairs'
+    # contributions AND gradients, so dropping them is output-bit-identical
+    # while every downstream cost (sort, gathers, kernel chunks, backward
+    # scatter) scales with live pairs. The max of alpha = op*exp(-q) over the
+    # tile rect is found by minimizing the positive-definite quadratic
+    # q = 0.5(a dx^2 + c dy^2) + b dx dy over the rect of pixel centers:
+    # at the mean if inside, else on one of the 4 edges (per-edge 1-D
+    # minimizer, clamped). A small margin keeps the test conservative
+    # against fp differences vs the kernel's per-pixel evaluation.
+    if conic is not None:
+        f32 = mean2d.dtype
+        ca = conic[:, 0][None, :]
+        cb = conic[:, 1][None, :]
+        cc = conic[:, 2][None, :]
+        mx = mean2d[:, 0][None, :]
+        my = mean2d[:, 1][None, :]
+        dx0 = tx.astype(f32) * tile_w - mx
+        dx1 = dx0 + (tile_w - 1)
+        dy0 = ty.astype(f32) * tile_h - my
+        dy1 = dy0 + (tile_h - 1)
+
+        def q(dx_, dy_):
+            return 0.5 * (ca * dx_ * dx_ + cc * dy_ * dy_) + cb * dx_ * dy_
+
+        a_safe = jnp.maximum(ca, 1e-12)
+        c_safe = jnp.maximum(cc, 1e-12)
+
+        def edge_x(dxe):  # vertical edge: dx fixed, dy in [dy0, dy1]
+            dye = jnp.clip(-cb * dxe / c_safe, dy0, dy1)
+            return q(dxe, dye)
+
+        def edge_y(dye):  # horizontal edge: dy fixed, dx in [dx0, dx1]
+            dxe = jnp.clip(-cb * dye / a_safe, dx0, dx1)
+            return q(dxe, dye)
+
+        inside = (dx0 <= 0) & (0 <= dx1) & (dy0 <= 0) & (0 <= dy1)
+        qmin = jnp.minimum(
+            jnp.minimum(edge_x(dx0), edge_x(dx1)),
+            jnp.minimum(edge_y(dy0), edge_y(dy1)),
+        )
+        qmin = jnp.where(inside, 0.0, qmin)
+        qcap = jnp.log(jnp.maximum(opacity[None, :], 1e-12) * 255.0) + 1e-3
+        pair_live = pair_live & (qmin <= qcap)
+
+    tile_id = jnp.where(pair_live, ty * grid_w + tx, num_tiles)
+    key = (tile_id.astype(jnp.int32) << KB) | inv_order[None, :]
+    key_sorted = jax.lax.sort(key.reshape(-1))  # (P*B,)
+    total_live = jnp.searchsorted(
+        key_sorted, jnp.int32(num_tiles << KB), side="left"
+    ).astype(jnp.int32)
+
+    # 4. budget truncation (static shape NPb). Live pairs run ~3.3P on the
+    # target workloads; 4P + per-tile slack keeps ~20% headroom while the
+    # downstream gather/scatter/kernel costs all scale with NPb (the backward
+    # scatter-add in particular is superlinear in N — 1.5 ms at 159k vs
+    # 4.8 ms at 317k rows measured). Drops are counted in `overflow`.
+    NP_all = P * B
+    if pair_budget == 0:
+        pair_budget = 4 * P + 64 * num_tiles
+    NPb = min(((pair_budget + align - 1) // align) * align, NP_all)
+    keys_b = key_sorted[:NPb]
+
+    # 5. per-tile ranges on packed keys directly
+    tiles = jnp.arange(num_tiles, dtype=jnp.int32)
+    t_start = jnp.searchsorted(keys_b, tiles << KB, side="left").astype(jnp.int32)
+    t_end = jnp.searchsorted(keys_b, (tiles + 1) << KB, side="left").astype(jnp.int32)
+    tile_count = t_end - t_start                      # (num_tiles,) per SUBtile
+    budget_overflow = total_live - jnp.sum(tile_count)
+
+    dims = (grid_h, grid_w_sup, grid_w, num_tiles, num_super, tile_w, KB,
+            NPb, B)
+    return _PairKeys(order, keys_b, t_start, tile_count, total_live,
+                     budget_overflow, rect_overflow), dims
+
+
+def measure_slot_need(mean2d, conic, opacity, depth, radius, valid,
+                      height: int, width: int, tile_h: int, tile_w: int,
+                      max_tiles_per_gaussian: int = 16, pair_budget: int = 0,
+                      align: int = 128, groups: int = 1, radius_xy=None):
+    """Exact aligned-slot need of a frame: the TPU analog of the reference's
+    dynamic arena resizing (rasterize_points.cu:27-33 resizeFunctional).
+
+    Static shapes mean the slot budget must be fixed at trace time; this
+    measures, for a representative frame, how many slots the supertile-
+    interleaved layout actually requires (live pairs + per-supertile chunk
+    padding + max-over-group skew). Callers size `slot_budget` from it —
+    e.g. once per scene, re-measuring (and recompiling, like the reference
+    re-allocates) if `overflow` ever reports drops.
+
+    Returns a dict of () int32 scalars: need, live, npb.
+    """
+    keys, dims = _pair_keys(
+        mean2d, conic, opacity, depth, radius, valid, height, width,
+        tile_h, tile_w, max_tiles_per_gaussian, pair_budget, align, groups,
+        radius_xy,
+    )
+    (_, _, _, _, num_super, _, _, NPb, _) = dims
+    counts_sg = keys.tile_count.reshape(num_super, groups)
+    n_chunks_s = (jnp.max(counts_sg, axis=1) + align - 1) // align
+    need = jnp.sum(n_chunks_s) * groups * align
+    return {"need": need, "live": jnp.sum(keys.tile_count), "npb": NPb}
+
+
 def build_pair_rows(
     mean2d,
     conic,
@@ -299,122 +471,21 @@ def build_pair_rows(
     All downstream semantics (depth order within tile, budget drop + overflow
     count, gradient barrier on dead rows) match the slow path exactly.
     """
+    keys, dims = _pair_keys(
+        mean2d, conic, opacity, depth, radius, valid,
+        height, width, tile_h, tile_w, max_tiles_per_gaussian,
+        pair_budget, align, groups, radius_xy,
+    )
     P = mean2d.shape[0]
     G = groups
-    assert tile_w % G == 0 and align % 8 == 0
-    sub_w = tile_w // G
-    grid_h = -(-height // tile_h)
-    grid_w_sup = -(-width // tile_w)       # geometric supertile columns
-    grid_w = grid_w_sup * G                # binning runs at subtile granularity
-    num_tiles = grid_h * grid_w            # number of SUBtiles
-    num_super = grid_h * grid_w_sup
-    tile_w = sub_w
-    B = max_tiles_per_gaussian
-
-    # rank bits: depth rank < P
-    KB = max(int(np.ceil(np.log2(max(P, 2)))), 1)
-    assert (num_tiles + 1) < (1 << (31 - KB)), (
-        f"packed key overflow: {num_tiles} tiles with {KB} rank bits"
-    )
-
-    # 1. depth order + inverse ranks. Keys are built on the ORIGINAL index
-    # space with rank = inv_order[i] — per-element int gathers cost a flat
-    # ~7.5 ns/elem on TPU, so one P-sized inverse beats five P-sized
-    # gather-by-order's.
-    sort_depth = jnp.where(valid, depth, jnp.inf)
-    order = jnp.argsort(sort_depth).astype(jnp.int32)  # (P,)
-    inv_order = jnp.argsort(order).astype(jnp.int32)   # depth rank of each i
-
-    # 2. tile rects (AABB-tightened when extents are given)
-    if radius_xy is not None:
-        min_y, min_x, max_y, max_x = tile_rect_aabb(
-            mean2d, radius, radius_xy, grid_h, grid_w, tile_h, tile_w
-        )
-    else:
-        min_y, min_x, max_y, max_x = tile_rect(
-            mean2d, radius, grid_h, grid_w, tile_h, tile_w
-        )
-    n_x = max_x - min_x
-    n_tiles = n_x * (max_y - min_y)
-    rect_overflow = jnp.sum(jnp.where(valid, jnp.maximum(n_tiles - B, 0), 0))
-
-    # 3. packed keys, one sort
-    slot = jnp.arange(B, dtype=jnp.int32)[None, :]
-    n_x_safe = jnp.maximum(n_x, 1)[:, None]
-    ty = min_y[:, None] + slot // n_x_safe
-    tx = min_x[:, None] + slot % n_x_safe
-    pair_live = valid[:, None] & (slot < jnp.minimum(n_tiles, B)[:, None])
-
-    # 3b. exact peak-alpha tile cull: drop (splat, tile) pairs whose max
-    # alpha over the tile's pixel grid is < 1/255 — the blend kernel's
-    # ALPHA_MIN skip (forward.cu:341-349 semantics) zeroes those pairs'
-    # contributions AND gradients, so dropping them is output-bit-identical
-    # while every downstream cost (sort, gathers, kernel chunks, backward
-    # scatter) scales with live pairs. The max of alpha = op*exp(-q) over the
-    # tile rect is found by minimizing the positive-definite quadratic
-    # q = 0.5(a dx^2 + c dy^2) + b dx dy over the rect of pixel centers:
-    # at the mean if inside, else on one of the 4 edges (per-edge 1-D
-    # minimizer, clamped). A small margin keeps the test conservative
-    # against fp differences vs the kernel's per-pixel evaluation.
-    if conic is not None:
-        f32 = mean2d.dtype
-        ca = conic[:, 0:1]
-        cb = conic[:, 1:2]
-        cc = conic[:, 2:3]
-        mx = mean2d[:, 0:1]
-        my = mean2d[:, 1:2]
-        dx0 = tx.astype(f32) * tile_w - mx
-        dx1 = dx0 + (tile_w - 1)
-        dy0 = ty.astype(f32) * tile_h - my
-        dy1 = dy0 + (tile_h - 1)
-
-        def q(dx_, dy_):
-            return 0.5 * (ca * dx_ * dx_ + cc * dy_ * dy_) + cb * dx_ * dy_
-
-        a_safe = jnp.maximum(ca, 1e-12)
-        c_safe = jnp.maximum(cc, 1e-12)
-
-        def edge_x(dxe):  # vertical edge: dx fixed, dy in [dy0, dy1]
-            dye = jnp.clip(-cb * dxe / c_safe, dy0, dy1)
-            return q(dxe, dye)
-
-        def edge_y(dye):  # horizontal edge: dy fixed, dx in [dx0, dx1]
-            dxe = jnp.clip(-cb * dye / a_safe, dx0, dx1)
-            return q(dxe, dye)
-
-        inside = (dx0 <= 0) & (0 <= dx1) & (dy0 <= 0) & (0 <= dy1)
-        qmin = jnp.minimum(
-            jnp.minimum(edge_x(dx0), edge_x(dx1)),
-            jnp.minimum(edge_y(dy0), edge_y(dy1)),
-        )
-        qmin = jnp.where(inside, 0.0, qmin)
-        qcap = jnp.log(jnp.maximum(opacity[:, None], 1e-12) * 255.0) + 1e-3
-        pair_live = pair_live & (qmin <= qcap)
-
-    tile_id = jnp.where(pair_live, ty * grid_w + tx, num_tiles)
-    key = (tile_id.astype(jnp.int32) << KB) | inv_order[:, None]
-    key_sorted = jax.lax.sort(key.reshape(-1))  # (P*B,)
-    total_live = jnp.searchsorted(
-        key_sorted, jnp.int32(num_tiles << KB), side="left"
-    ).astype(jnp.int32)
-
-    # 4. budget truncation (static shape NPb). Live pairs run ~3.3P on the
-    # target workloads; 4P + per-tile slack keeps ~20% headroom while the
-    # downstream gather/scatter/kernel costs all scale with NPb (the backward
-    # scatter-add in particular is superlinear in N — 1.5 ms at 159k vs
-    # 4.8 ms at 317k rows measured). Drops are counted in `overflow`.
-    NP_all = P * B
-    if pair_budget == 0:
-        pair_budget = 4 * P + 64 * num_tiles
-    NPb = min(((pair_budget + align - 1) // align) * align, NP_all)
-    keys_b = key_sorted[:NPb]
-
-    # 5. per-tile ranges on packed keys directly
-    tiles = jnp.arange(num_tiles, dtype=jnp.int32)
-    t_start = jnp.searchsorted(keys_b, tiles << KB, side="left").astype(jnp.int32)
-    t_end = jnp.searchsorted(keys_b, (tiles + 1) << KB, side="left").astype(jnp.int32)
-    tile_count = t_end - t_start                      # (num_tiles,) per SUBtile
-    budget_overflow = total_live - jnp.sum(tile_count)
+    grid_h, grid_w_sup, grid_w, num_tiles, num_super, tile_w, KB, NPb, B = dims
+    order = keys.order
+    keys_b = keys.keys_b
+    t_start = keys.t_start
+    tile_count = keys.tile_count
+    total_live = keys.total_live
+    budget_overflow = keys.budget_overflow
+    rect_overflow = keys.rect_overflow
 
     # 6. aligned supertile-interleaved layout: every aligned block of `align`
     # pairs is one contiguous run of the tile-sorted pair list, so per-pair
@@ -436,8 +507,11 @@ def build_pair_rows(
         else:
             # pairs + per-supertile ceil padding + a skew allowance; the
             # exact bound (left arm) wins for small scenes so tests never
-            # drop. Measured needs on the bench scene: G=2 ~240k, G=4 ~330k
-            # vs NPb 217k.
+            # drop. The default must stay conservative (a too-small budget
+            # drops pairs — counted, but output-visible); callers that know
+            # their workload size it exactly via measure_slot_need (bench
+            # scene needs 220k at G=2 vs this default's 310k, and the row
+            # gather + backward scatter-add scale with it).
             slot_budget = min(
                 G * NPb + G * align * num_super,
                 NPb + NPb // 8 + G * align * num_super,

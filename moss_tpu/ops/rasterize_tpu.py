@@ -650,7 +650,8 @@ class _TileGeometry(NamedTuple):
 
 
 def _build_pairs(proj: Projected, height, width, max_tiles_per_gaussian,
-                 pair_budget: int = 0, groups: int = 1):
+                 pair_budget: int = 0, groups: int = 1,
+                 slot_budget: int = 0):
     grid_h = -(-height // TILE_H)
     grid_w = -(-width // TILE_W)
     pl_ = build_pair_rows(
@@ -658,7 +659,7 @@ def _build_pairs(proj: Projected, height, width, max_tiles_per_gaussian,
         proj.radius, proj.valid,
         height, width, TILE_H, TILE_W, max_tiles_per_gaussian,
         pair_budget=pair_budget, align=CHUNK,
-        radius_xy=proj.radius_xy, groups=groups,
+        radius_xy=proj.radius_xy, groups=groups, slot_budget=slot_budget,
     )
     # build_pair_rows returns the (16, NP2) TRANSPOSED pair buffer directly:
     # the kernels DMA (16, G*CHUNK) column blocks at 128-aligned lane offsets
@@ -679,7 +680,7 @@ def _build_pairs(proj: Projected, height, width, max_tiles_per_gaussian,
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "max_tiles_per_gaussian",
-                     "pair_budget", "groups"),
+                     "pair_budget", "groups", "slot_budget"),
 )
 def rasterize_tpu(
     proj: Projected,
@@ -689,6 +690,7 @@ def rasterize_tpu(
     max_tiles_per_gaussian: int = 16,
     pair_budget: int = 0,
     groups: int = 0,
+    slot_budget: int = 0,
 ):
     """Drop-in replacement for rasterize_reference on TPU (same return dict).
 
@@ -697,14 +699,19 @@ def rasterize_tpu(
     the gather's transpose (a deterministic scatter-add).
 
     groups selects the lane-packed subtile factor (see module docstring);
-    0 = module default (DEFAULT_GROUPS / MOSS_RASTER_GROUPS). The per-pixel
+    0 = module default (DEFAULT_GROUPS / MOSS_RASTER_GROUPS). slot_budget
+    statically sizes the aligned pair buffer (0 = safe heuristic); size it
+    from binning.measure_slot_need for a representative frame — the TPU
+    analog of the reference's per-frame arena resizing — since every
+    downstream cost (row gather, backward scatter-add) scales with it. The per-pixel
     blend math is group-independent; only the binning granularity (and thus
     which rect-boundary pixels a splat's tiles cover — the same semantic
     freedom the reference exercises with its 16x16 tile choice) varies.
     """
     G = groups or DEFAULT_GROUPS
     tg, grid_h, grid_w = _build_pairs(
-        proj, height, width, max_tiles_per_gaussian, pair_budget, G
+        proj, height, width, max_tiles_per_gaussian, pair_budget, G,
+        slot_budget,
     )
 
     r, g, b, d, a, T = _make_rasterize_pairs(grid_h, grid_w, G)(

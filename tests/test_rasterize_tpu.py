@@ -237,3 +237,52 @@ class TestLanePackedGroups:
         out = rasterize_tpu(proj, bg, H, W, groups=4)
         assert out["color"].shape == (H, W, 3)
         assert_images_match(out["color"], ref["color"])
+
+
+class TestMeasuredSlotBudget:
+    """measure_slot_need sizes the static pair buffer exactly (no drops) and
+    the sized rasterization is bit-identical to the default-budget one."""
+
+    def test_sized_budget_matches_default(self, rng):
+        from moss_tpu.ops.binning import measure_slot_need
+        from moss_tpu.ops import rasterize_tpu as rt
+
+        H = W = 64
+        cam = make_camera(H, W)
+        proj = project_scene(rng, cam, n=200)
+        bg = jnp.array([0.1, 0.2, 0.3])
+        G = rt.DEFAULT_GROUPS
+        need = int(measure_slot_need(
+            proj.mean2d, proj.conic, proj.opacity, proj.depth, proj.radius,
+            proj.valid, H, W, TILE_H, TILE_W, groups=G,
+            radius_xy=proj.radius_xy)["need"])
+        assert need > 0
+
+        def loss(fields, raster_kw):
+            o = rasterize_tpu(
+                proj._replace(mean2d=fields[0], opacity=fields[1]),
+                bg, H, W, **raster_kw)
+            assert int(o["overflow"]) == 0
+            return o
+
+        fields = (proj.mean2d, proj.opacity)
+        out_def = loss(fields, {})
+        out_sized = loss(fields, {"slot_budget": need})
+        np.testing.assert_array_equal(
+            np.asarray(out_def["color"]), np.asarray(out_sized["color"]))
+        np.testing.assert_array_equal(
+            np.asarray(out_def["alpha"]), np.asarray(out_sized["alpha"]))
+
+        # gradients identical too (same pairs, same reduction order)
+        def gsum(raster_kw):
+            def f(fields):
+                o = rasterize_tpu(
+                    proj._replace(mean2d=fields[0], opacity=fields[1]),
+                    bg, H, W, **raster_kw)
+                return jnp.sum(o["color"]) + jnp.sum(o["alpha"])
+            return jax.grad(f)(fields)
+
+        g_def = gsum({})
+        g_sized = gsum({"slot_budget": need})
+        for a, b in zip(jax.tree.leaves(g_def), jax.tree.leaves(g_sized)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
