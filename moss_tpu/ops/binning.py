@@ -251,6 +251,46 @@ class PairLayout(NamedTuple):
 
 
 
+def _default_slot_budget(NPb: int, G: int, align: int, num_tiles: int,
+                         num_super: int) -> int:
+    """Conservative slot budget when the caller gives none.
+
+    G == 1: exact no-drop bound (each tile wastes < align slots). G > 1:
+    pairs + per-supertile ceil padding + a skew allowance, min'd with the
+    exact bound (which wins for small scenes, so tests never drop). The
+    default must stay conservative — a too-small budget drops pairs (counted
+    in `overflow`, but output-visible); callers that know their workload size
+    it exactly via measure_slot_need (the bench scene needs 220k at G=2 vs
+    this default's 310k, and the row gather + backward scatter-add scale with
+    the buffer).
+    """
+    if G == 1:
+        return NPb + align * num_tiles
+    return min(
+        G * NPb + G * align * num_super,
+        NPb + NPb // 8 + G * align * num_super,
+    )
+
+
+def default_slot_budget(P: int, height: int, width: int, tile_h: int,
+                        tile_w: int, groups: int = 1,
+                        max_tiles_per_gaussian: int = 16,
+                        pair_budget: int = 0, align: int = 128) -> int:
+    """Public form of the default used by build_pair_rows (for callers that
+    compare a measured need against the default before overriding it)."""
+    G = groups
+    grid_h = -(-height // tile_h)
+    grid_w_sup = -(-width // tile_w)
+    num_tiles = grid_h * grid_w_sup * G
+    num_super = grid_h * grid_w_sup
+    if pair_budget == 0:
+        pair_budget = 4 * P + 64 * num_tiles
+    NPb = min(((pair_budget + align - 1) // align) * align,
+              P * max_tiles_per_gaussian)
+    return _default_slot_budget(NPb, G, align, num_tiles, num_super)
+
+
+
 class _PairKeys(NamedTuple):
     """Steps 1-5 of the pair build: tile-sorted packed keys + per-tile counts."""
 
@@ -497,25 +537,7 @@ def build_pair_rows(
     counts_sg = tile_count.reshape(num_super, G)
     n_chunks_s = (jnp.max(counts_sg, axis=1) + align - 1) // align  # (num_super,)
     if slot_budget == 0:
-        # exact no-drop bound vs a 1.5x-pairs heuristic (big scenes): the
-        # exact bound is smaller for small scenes (tests — never drops) and
-        # the heuristic caps the skew cost on production shapes; drops are
-        # counted in `overflow`, never silent. G == 1 keeps the per-tile
-        # exact bound (each tile wastes < align slots).
-        if G == 1:
-            slot_budget = NPb + align * num_tiles
-        else:
-            # pairs + per-supertile ceil padding + a skew allowance; the
-            # exact bound (left arm) wins for small scenes so tests never
-            # drop. The default must stay conservative (a too-small budget
-            # drops pairs — counted, but output-visible); callers that know
-            # their workload size it exactly via measure_slot_need (bench
-            # scene needs 220k at G=2 vs this default's 310k, and the row
-            # gather + backward scatter-add scale with it).
-            slot_budget = min(
-                G * NPb + G * align * num_super,
-                NPb + NPb // 8 + G * align * num_super,
-            )
+        slot_budget = _default_slot_budget(NPb, G, align, num_tiles, num_super)
     NP2 = ((slot_budget + G * align - 1) // (G * align)) * (G * align)
     nb = NP2 // align
     bstart0 = jnp.concatenate(

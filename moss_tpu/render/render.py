@@ -112,6 +112,12 @@ def render_frame(
     else:
         images = rasterize_fn(proj, bg_color, camera.height, camera.width)
 
+    # pass rasterizer extras (e.g. the `overflow` drop counter — SURVEY §7:
+    # no silent caps) through to the training contract
+    extra = {
+        k: v for k, v in images.items()
+        if k not in ("color", "depth", "alpha", "final_T")
+    }
     return {
         "render": images["color"],          # (H, W, 3)
         "render_depth": images["depth"],
@@ -124,4 +130,5 @@ def render_frame(
         "pose_out": pose_out,
         "lbs_weights": bweights,
         "means3D": means3d,
+        **extra,
     }

@@ -108,6 +108,11 @@ def make_train_step(
         logs = dict(logs)
         logs["psnr_proxy"] = -10.0 * jnp.log10(logs["l1"] ** 2 + 1e-12)
         logs["num_points"] = gstate.num_valid
+        if out.get("overflow") is not None:
+            # pair-buffer drop counter (SURVEY §7: no silent caps) — nonzero
+            # means the autosized budget lagged the cloud; the trainer's
+            # densify-boundary probe grows it
+            logs["raster_overflow"] = out["overflow"]
         return TrainState(params, opt_state, gstate, ts.step + 1), logs
 
     return init_fn, step_fn

@@ -67,6 +67,13 @@ class Trainer:
         self.test_frames = test_frames
         self.extent = extent
         self.log_fn = log_fn
+        # Pair-buffer autosizing (the TPU analog of the reference's per-frame
+        # arena resizing, rasterize_points.cu:27-33): only when we own the
+        # default Pallas rasterizer — a caller-supplied rasterize_fn manages
+        # its own budgets.
+        self._autosize = rasterize_fn is None and cfg.pipe.rasterizer == "pallas"
+        self._slot_budget = 0
+        self._step_version = 0
         self.rasterize_fn = rasterize_fn if rasterize_fn is not None else (
             rasterize_tpu if cfg.pipe.rasterizer == "pallas" else None
         )
@@ -89,6 +96,74 @@ class Trainer:
         self.ts = TrainState(p, init_fn(p), gstate, jnp.asarray(0, jnp.int32))
         self.metrics_history: List[Dict] = []
         self._eval_fn = self._build_eval_fn()
+        if self._autosize:
+            self._resize_pair_buffer()
+
+    # ------------------------------------------------------------------
+    def _probe_slot_need(self, frame) -> int:
+        """Exact aligned-slot need of one training frame under the current
+        cloud (binning.measure_slot_need through the full deform chain)."""
+        from ..ops import rasterize_tpu as rt
+        from ..ops.binning import measure_slot_need
+
+        bg = jnp.ones(3) if self.cfg.model.white_background else jnp.zeros(3)
+
+        @jax.jit
+        def need_fn(params, valid, frame):
+            def nf(proj, b, h, w):
+                z = jnp.zeros((h, w))
+                need = measure_slot_need(
+                    proj.mean2d, proj.conic, proj.opacity, proj.depth,
+                    proj.radius, proj.valid, h, w, rt.TILE_H, rt.TILE_W,
+                    groups=rt.DEFAULT_GROUPS, radius_xy=proj.radius_xy,
+                )["need"]
+                return {"color": jnp.zeros((h, w, 3)), "depth": z,
+                        "alpha": z, "final_T": z, "need": need}
+
+            out = render_frame(
+                params["gauss"], valid, params.get("mlps"), self.scene,
+                frame.smpl_params, frame.camera, bg, self.cfg.model.sh_degree,
+                rasterize_fn=nf, motion_offset=self.cfg.model.motion_offset,
+            )
+            return out["need"]
+
+        return int(need_fn(self.ts.params, self.ts.gstate.valid, frame))
+
+    def _resize_pair_buffer(self):
+        """Probe the current cloud's slot need and grow the static pair-buffer
+        budget (1.5x headroom, 32k buckets, never shrinks) — rebuilding the
+        jitted step only when the bucket grows. Called at init and after every
+        densify (the only times the cloud changes shape); the overflow counter
+        in the step logs would expose any drop this policy ever allowed."""
+        if not self._autosize or not self.train_frames:
+            return
+        need = max(
+            self._probe_slot_need(f) for f in self.train_frames[:2]
+        )
+        budget = -(-(need * 3 // 2) // 32768) * 32768
+        if budget <= self._slot_budget:
+            return
+        # above the safe default there is nothing to gain — keep the default
+        from ..ops import rasterize_tpu as rt
+        from ..ops.binning import default_slot_budget
+
+        cam = self.train_frames[0].camera
+        cap = default_slot_budget(
+            self.ts.params["gauss"].capacity, cam.height, cam.width,
+            rt.TILE_H, rt.TILE_W, groups=rt.DEFAULT_GROUPS,
+        )
+        if budget >= cap:
+            if self._slot_budget == 0:
+                return
+            budget = 0  # back to default (cannot happen: budgets never shrink)
+        self._slot_budget = budget
+        self.rasterize_fn = functools.partial(rasterize_tpu, slot_budget=budget)
+        _, self.step_fn = make_train_step(
+            self.scene, self.cfg, self.rasterize_fn, self.lpips_params,
+            *self.crop_hw
+        )
+        self._eval_fn = self._build_eval_fn()
+        self._step_version += 1
 
     def _build_eval_fn(self):
         """One jitted program per eval frame: render + clamp + metrics.
@@ -173,6 +248,7 @@ class Trainer:
                 and it % o.densification_interval == 0
             ):
                 self.densify(it)
+                self._resize_pair_buffer()
             if it % o.opacity_reset_interval == 0 or (
                 cfg.model.white_background and it == o.densify_from_iter
             ):
@@ -187,8 +263,13 @@ class Trainer:
 
         if fused_dispatch:
             prev = 0
+            version = self._step_version
             for bound in self._host_boundaries(iters, eval_iters):
                 if bound > prev:
+                    if self._step_version != version:
+                        # pair-buffer budget grew at a densify boundary
+                        many_fn = make_train_many(self.step_fn)
+                        version = self._step_version
                     deg = active_sh_degree(prev + 1, cfg.model.sh_degree)
                     chunk = jnp.asarray(order[prev:bound])
                     self.ts, logs = many_fn(self.ts, frames_stacked, chunk, deg)

@@ -120,7 +120,7 @@ def main():
         jnp.asarray(means2), cov3d2,
         jnp.asarray(rng.uniform(size=(P2, 3)).astype(np.float32)),
         jnp.asarray(rng.uniform(0.3, 0.95, P2).astype(np.float32)), cam,
-        valid=jnp.asarray(valid2))
+        valid_mask=jnp.asarray(valid2))
     print("train-like scene (7k live, fat splats):")
     for G in (1, 2, 4):
         need_for(proj2, H, W, 8, 128, G)
