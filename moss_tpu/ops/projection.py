@@ -22,8 +22,6 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from .transforms import unpack_cov3d
-
 NEAR_Z = 0.2  # reference auxiliary.h:151 in_frustum near plane
 LOWPASS = 0.3  # reference forward.cu:110-111 dilation of the 2D covariance
 
@@ -51,14 +49,23 @@ def ndc2pix(v, size):
 
 
 def project_points(means3d, world_view, full_proj):
-    """World points -> (view_z, ndc xyz). Row-vector convention (camera.py)."""
-    ones = jnp.ones_like(means3d[..., :1])
-    hom = jnp.concatenate([means3d, ones], axis=-1)
-    p_view = hom @ world_view
-    p_hom = hom @ full_proj
-    p_w = 1.0 / (p_hom[..., 3] + 1e-7)
-    p_proj = p_hom[..., :3] * p_w[..., None]
-    return p_view[..., 2], p_proj
+    """World points -> (view_z, ndc xyz). Row-vector convention (camera.py).
+
+    Component form: [x y z 1] @ M columns as full-width (P,) FMAs (the
+    (P, 4) @ (4, 4) form wastes the MXU/vreg lanes at these shapes).
+    """
+    mx, my, mz = means3d[..., 0], means3d[..., 1], means3d[..., 2]
+
+    def col(M, j):
+        return mx * M[0, j] + my * M[1, j] + mz * M[2, j] + M[3, j]
+
+    view_z = col(world_view, 2)
+    p_w = 1.0 / (col(full_proj, 3) + 1e-7)
+    p_proj = jnp.stack(
+        [col(full_proj, 0) * p_w, col(full_proj, 1) * p_w, col(full_proj, 2) * p_w],
+        axis=-1,
+    )
+    return view_z, p_proj
 
 
 def ewa_cov2d(means3d, cov3d_packed, world_view, focal_x, focal_y, tan_fovx, tan_fovy):
@@ -67,35 +74,50 @@ def ewa_cov2d(means3d, cov3d_packed, world_view, focal_x, focal_y, tan_fovx, tan
     Returns (P, 3) packed [xx, xy, yy] including the +0.3 low-pass.
     """
     U = world_view[:3, :3].T  # math world->view rotation (x_view = U x_world)
-    ones = jnp.ones_like(means3d[..., :1])
-    t = (jnp.concatenate([means3d, ones], axis=-1) @ world_view)[..., :3]
+    mx_, my_, mz_ = means3d[..., 0], means3d[..., 1], means3d[..., 2]
 
-    tz = t[..., 2]
+    def col(j):
+        return (mx_ * world_view[0, j] + my_ * world_view[1, j]
+                + mz_ * world_view[2, j] + world_view[3, j])
+
+    t0, t1, tz = col(0), col(1), col(2)
     limx = 1.3 * tan_fovx
     limy = 1.3 * tan_fovy
-    tx = jnp.clip(t[..., 0] / tz, -limx, limx) * tz
-    ty = jnp.clip(t[..., 1] / tz, -limy, limy) * tz
+    tx = jnp.clip(t0 / tz, -limx, limx) * tz
+    ty = jnp.clip(t1 / tz, -limy, limy) * tz
 
     inv_tz = 1.0 / tz
     inv_tz2 = inv_tz * inv_tz
     # J: 2x3 Jacobian of perspective projection at the clamped view point.
+    # All contractions in component form: batched (P, 2, 3) matmuls lower to
+    # minor-dim-3 vector ops on TPU; (P,) component math is full-width.
     j00 = focal_x * inv_tz
     j02 = -focal_x * tx * inv_tz2
     j11 = focal_y * inv_tz
     j12 = -focal_y * ty * inv_tz2
-    zeros = jnp.zeros_like(j00)
-    J = jnp.stack(
-        [jnp.stack([j00, zeros, j02], axis=-1),
-         jnp.stack([zeros, j11, j12], axis=-1)],
-        axis=-2,
-    )  # (P, 2, 3)
 
-    Sigma = unpack_cov3d(cov3d_packed)  # (P, 3, 3)
-    M = J @ U  # (P, 2, 3)
-    cov = M @ Sigma @ jnp.swapaxes(M, -1, -2)  # (P, 2, 2)
-    xx = cov[..., 0, 0] + LOWPASS
-    xy = cov[..., 0, 1]
-    yy = cov[..., 1, 1] + LOWPASS
+    # M = J @ U with U a constant 3x3 (J rows are [j00, 0, j02], [0, j11, j12])
+    u00, u01, u02 = U[0, 0], U[0, 1], U[0, 2]
+    u10, u11, u12 = U[1, 0], U[1, 1], U[1, 2]
+    u20, u21, u22 = U[2, 0], U[2, 1], U[2, 2]
+    m00 = j00 * u00 + j02 * u20
+    m01 = j00 * u01 + j02 * u21
+    m02 = j00 * u02 + j02 * u22
+    m10 = j11 * u10 + j12 * u20
+    m11 = j11 * u11 + j12 * u21
+    m12 = j11 * u12 + j12 * u22
+
+    # cov2d = M Sigma M^T on the packed-6 Sigma
+    s00, s01, s02, s11, s12, s22 = (cov3d_packed[..., i] for i in range(6))
+    v00 = m00 * s00 + m01 * s01 + m02 * s02
+    v01 = m00 * s01 + m01 * s11 + m02 * s12
+    v02 = m00 * s02 + m01 * s12 + m02 * s22
+    v10 = m10 * s00 + m11 * s01 + m12 * s02
+    v11 = m10 * s01 + m11 * s11 + m12 * s12
+    v12 = m10 * s02 + m11 * s12 + m12 * s22
+    xx = v00 * m00 + v01 * m01 + v02 * m02 + LOWPASS
+    xy = v00 * m10 + v01 * m11 + v02 * m12
+    yy = v10 * m10 + v11 * m11 + v12 * m12 + LOWPASS
     return jnp.stack([xx, xy, yy], axis=-1)
 
 

@@ -138,13 +138,69 @@ def build_covariance(scaling, rotation_q, transform=None, scaling_modifier: floa
       when compute_cov3D_python=True: Sigma' = T Sigma T^T).
 
     Returns (P, 6): [xx, xy, xz, yy, yz, zz].
+
+    Fully component-form: batched (P, 3, 3) matmuls lower to minor-dim-3
+    vector ops on TPU (125/128 of every vreg idle — measured 5.9 ms fwd+bwd
+    for build+fold at P=46k); the same contractions written on (P,) component
+    arrays are full-width VPU ops.
     """
-    R = quat_to_rotmat(rotation_q)
-    L = R * (scaling_modifier * scaling)[..., None, :]  # R @ diag(s)
-    cov = L @ jnp.swapaxes(L, -1, -2)
+    q = quat_normalize(rotation_q)
+    r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - r * z)
+    r02 = 2 * (x * z + r * y)
+    r10 = 2 * (x * y + r * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - r * x)
+    r20 = 2 * (x * z - r * y)
+    r21 = 2 * (y * z + r * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    s0 = scaling_modifier * scaling[..., 0]
+    s1 = scaling_modifier * scaling[..., 1]
+    s2 = scaling_modifier * scaling[..., 2]
+    # L = R @ diag(s); cov = L L^T (6 unique comps)
+    l00, l01, l02 = r00 * s0, r01 * s1, r02 * s2
+    l10, l11, l12 = r10 * s0, r11 * s1, r12 * s2
+    l20, l21, l22 = r20 * s0, r21 * s1, r22 * s2
+    c00 = l00 * l00 + l01 * l01 + l02 * l02
+    c01 = l00 * l10 + l01 * l11 + l02 * l12
+    c02 = l00 * l20 + l01 * l21 + l02 * l22
+    c11 = l10 * l10 + l11 * l11 + l12 * l12
+    c12 = l10 * l20 + l11 * l21 + l12 * l22
+    c22 = l20 * l20 + l21 * l21 + l22 * l22
     if transform is not None:
-        cov = transform @ cov @ jnp.swapaxes(transform, -1, -2)
-    return pack_cov3d(cov)
+        cov6 = jnp.stack([c00, c01, c02, c11, c12, c22], axis=-1)
+        return fold_cov6(cov6, transform)
+    return jnp.stack([c00, c01, c02, c11, c12, c22], axis=-1)
+
+
+def fold_cov6(cov6, transform):
+    """Sigma' = T Sigma T^T on the packed-6 representation, component form.
+
+    cov6: (..., 6) [xx, xy, xz, yy, yz, zz]; transform: (..., 3, 3).
+    """
+    c00, c01, c02, c11, c12, c22 = (cov6[..., i] for i in range(6))
+    t00, t01, t02 = transform[..., 0, 0], transform[..., 0, 1], transform[..., 0, 2]
+    t10, t11, t12 = transform[..., 1, 0], transform[..., 1, 1], transform[..., 1, 2]
+    t20, t21, t22 = transform[..., 2, 0], transform[..., 2, 1], transform[..., 2, 2]
+    # U = T @ C (C symmetric)
+    u00 = t00 * c00 + t01 * c01 + t02 * c02
+    u01 = t00 * c01 + t01 * c11 + t02 * c12
+    u02 = t00 * c02 + t01 * c12 + t02 * c22
+    u10 = t10 * c00 + t11 * c01 + t12 * c02
+    u11 = t10 * c01 + t11 * c11 + t12 * c12
+    u12 = t10 * c02 + t11 * c12 + t12 * c22
+    u20 = t20 * c00 + t21 * c01 + t22 * c02
+    u21 = t20 * c01 + t21 * c11 + t22 * c12
+    u22 = t20 * c02 + t21 * c12 + t22 * c22
+    # Sigma' = U @ T^T (upper triangle)
+    o00 = u00 * t00 + u01 * t01 + u02 * t02
+    o01 = u00 * t10 + u01 * t11 + u02 * t12
+    o02 = u00 * t20 + u01 * t21 + u02 * t22
+    o11 = u10 * t10 + u11 * t11 + u12 * t12
+    o12 = u10 * t20 + u11 * t21 + u12 * t22
+    o22 = u20 * t20 + u21 * t21 + u22 * t22
+    return jnp.stack([o00, o01, o02, o11, o12, o22], axis=-1)
 
 
 def pack_cov3d(cov):
