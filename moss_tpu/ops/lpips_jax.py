@@ -100,46 +100,80 @@ def convert_torch_weights(out_path: str):  # pragma: no cover - needs torchvisio
     return out_path
 
 
-def _conv(p, x):
+def _conv(p, x, dtype):
+    # output dtype == input dtype so the conv VJP sees matching dtypes; the
+    # TPU conv still accumulates in f32 internally for bf16 operands
+    cin = p["w"].shape[2]
+    if cin <= 4:
+        # XLA's TPU conv is pathological at tiny input depth (conv1_1 with
+        # Cin=3: 0.57 ms of a 1.7 ms tower, ~1.6 TFLOP/s) — explicit im2col
+        # + one (HW, 9*Cin) @ (9*Cin, Cout) matmul is ~5x faster and its VJP
+        # is pad/slice transposes (scatter-free).
+        n, h, w_, _ = x.shape
+        xp = jnp.pad(x.astype(dtype), ((0, 0), (1, 1), (1, 1), (0, 0)))
+        pat = jnp.concatenate(
+            [xp[:, dy:dy + h, dx:dx + w_, :] for dy in range(3) for dx in range(3)],
+            axis=-1,
+        )  # (N, H, W, 9*Cin), tap-major to match HWIO.reshape below
+        wm = jnp.asarray(p["w"], dtype).reshape(9 * cin, -1)
+        return pat @ wm + jnp.asarray(p["b"], dtype)
     return (
         jax.lax.conv_general_dilated(
-            x, p["w"], (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            x.astype(dtype), jnp.asarray(p["w"], dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        + p["b"]
+        + jnp.asarray(p["b"], dtype)
     )
 
 
-def _features(params, x) -> List[jnp.ndarray]:
+def _features(params, x, dtype) -> List[jnp.ndarray]:
     """x: (N, H, W, 3) in lpips-normalized space -> 5 stage features."""
     feats = []
     h = x
     for bi, block in enumerate(params["convs"]):
         for p in block:
-            h = jax.nn.relu(_conv(p, h))
+            h = jax.nn.relu(_conv(p, h, dtype))
         feats.append(h)
         if bi < len(params["convs"]) - 1:
             h = jax.lax.reduce_window(
-                h, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+                h, h.dtype.type(-jnp.inf), jax.lax.max,
+                (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
             )
     return feats
 
 
-def lpips(params: Dict, img1, img2):
-    """Perceptual distance. Images (H, W, 3) in [0, 1]. Returns scalar."""
+def lpips(params: Dict, img1, img2, dtype=jnp.float32):
+    """Perceptual distance. Images (H, W, 3) in [0, 1]. Returns scalar.
+
+    dtype: activation dtype for the VGG towers. The metric path keeps the
+    default f32 (parity with the torch lpips reference); the training loss
+    passes bf16 — v5e MXU convs already run inputs at bf16 precision, so
+    bf16 activations only halve the HBM traffic of the memory-bound conv
+    stages (the unit-normalize + distance head stays f32 either way).
+    """
     def norm_input(im):
         x = im * 2.0 - 1.0
         return (x - _SHIFT) / _SCALE
 
     x1 = norm_input(img1)[None]
     x2 = norm_input(img2)[None]
-    f1 = _features(params, x1)
-    f2 = _features(params, x2)
+    f1 = _features(params, x1, dtype)
+    f2 = _features(params, x2, dtype)
     total = 0.0
     for a, b, lin in zip(f1, f2, params["lins"]):
-        a = a / (jnp.linalg.norm(a, axis=-1, keepdims=True) + 1e-10)
-        b = b / (jnp.linalg.norm(b, axis=-1, keepdims=True) + 1e-10)
-        d = (a - b) ** 2
-        total = total + jnp.mean(jnp.sum(d * lin, axis=-1))
+        a = a.astype(jnp.float32)
+        b = b.astype(jnp.float32)
+        # sum_c lin_c (a_c/|a| - b_c/|b|)^2 expanded into three lin-weighted
+        # channel dots — one fused pass over a and b instead of materializing
+        # the unit-normalized feature maps (the head was ~2.6 ms of a 6 ms
+        # forward at 512^2; algebraically identical up to fp reassociation)
+        inv_a = 1.0 / (jnp.sqrt(jnp.sum(a * a, axis=-1)) + 1e-10)
+        inv_b = 1.0 / (jnp.sqrt(jnp.sum(b * b, axis=-1)) + 1e-10)
+        aa = jnp.sum(a * a * lin, axis=-1)
+        bb = jnp.sum(b * b * lin, axis=-1)
+        ab = jnp.sum(a * b * lin, axis=-1)
+        d = aa * inv_a * inv_a + bb * inv_b * inv_b - 2.0 * ab * inv_a * inv_b
+        total = total + jnp.mean(d)
     return total
 
 

@@ -72,7 +72,12 @@ def compute_losses(
 
     if lpips_params is None:
         lpips_params = lpips_jax.get_default_params()
-    lpips_loss = lpips_jax.lpips(lpips_params, img_c, gt_c)
+    # bf16 activations in the TRAINING loss only (eval metrics stay f32):
+    # v5e convs already run f32 inputs at bf16 MXU precision, so this halves
+    # HBM traffic of the memory-bound VGG stages without changing compute
+    # precision class (see lpips_jax.lpips docstring; tolerance test in
+    # tests/test_losses_parity.py).
+    lpips_loss = lpips_jax.lpips(lpips_params, img_c, gt_c, dtype=jnp.bfloat16)
 
     pose_out = render_out.get("pose_out")
     if pose_out is not None:

@@ -88,3 +88,21 @@ def test_ssim_gradient_finite(imgs):
     a, b = imgs
     g = jax.grad(lambda x: ssim(x, jnp.asarray(b)))(jnp.asarray(a))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_lpips_bf16_close_to_f32():
+    """The training loss runs the VGG towers in bf16 (losses.py); the metric
+    path stays f32. The two must agree to ~1% so the loss-term gradient
+    direction is preserved."""
+    import jax.numpy as jnp
+    import numpy as np
+    from moss_tpu.ops import lpips_jax
+
+    rng = np.random.default_rng(7)
+    p = lpips_jax.get_default_params()
+    a = jnp.asarray(rng.random((96, 96, 3)).astype(np.float32))
+    b = jnp.clip(a + 0.1 * jnp.asarray(rng.random((96, 96, 3)).astype(np.float32)), 0, 1)
+    f32 = float(lpips_jax.lpips(p, a, b))
+    bf16 = float(lpips_jax.lpips(p, a, b, dtype=jnp.bfloat16))
+    assert f32 > 0
+    assert abs(bf16 - f32) / f32 < 2e-2, (f32, bf16)
