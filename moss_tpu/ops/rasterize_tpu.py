@@ -197,7 +197,6 @@ class _Blend(NamedTuple):
     w: jnp.ndarray          # (K, H, W)
     T_out: jnp.ndarray      # (1, H, W)
     done_out: jnp.ndarray   # (1, H, W)
-    dx: jnp.ndarray         # (K, ·, W) per-lane dx (composite for G > 1)
     dy: jnp.ndarray         # (K, H, W)
     dxw: jnp.ndarray        # (K, W) packed per-lane dx for the moment stage
 
@@ -233,11 +232,17 @@ def _chunk_blend(gs, rels, T_in, done, G):
         def comp(i):   # (K, 1, 1) per-splat scalar, broadcast in use
             return _col(g, i)
 
+        def comp2(i):  # (K, 1) packed per-splat scalar
+            return g[:, i:i + 1]
+
         dxw = g[:, 0:1] - pxw            # (K, W) packed
         rm = rowid < rels[0]
     else:
         def comp(i):   # (K, 1, W) lane-composite, packed 2-D then expanded
             return _composite2([g_[:, i:i + 1] for g_ in gs], G)[:, None, :]
+
+        def comp2(i):  # (K, W) packed lane-composite
+            return _composite2([g_[:, i:i + 1] for g_ in gs], G)
 
         dxw = _composite2([g_[:, 0:1] for g_ in gs], G) - pxw  # (K, W)
         # f32 composite — i1-vector selects hit an unsupported-bitwidth
@@ -246,10 +251,14 @@ def _chunk_blend(gs, rels, T_in, done, G):
             [jnp.where(rowid[:, :, 0] < r, 1.0, 0.0) for r in rels], G
         )[:, None, :] > 0.5
 
-    dx = comp(0) - px                    # (K, H, W)
     dy = comp(1) - py
-    a, b, c = comp(2), comp(3), comp(4)
-    power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
+    # lane-plane Horner quadratic (module docstring): dx varies only along
+    # lanes, so u0 = -a dx^2/2 and u1 = -b dx stay (K, W) packed (16 vregs)
+    # and the full-width expansion is 4 ops vs ~8 for the direct quadratic.
+    u0 = -0.5 * (comp2(2) * dxw) * dxw   # (K, W)
+    u1 = -(comp2(3) * dxw)               # (K, W)
+    u2 = -0.5 * comp2(4)                 # (K, 1) or (K, W)
+    power = u0[:, None, :] + (u1[:, None, :] + u2[:, None, :] * dy) * dy
     alpha = jnp.minimum(ALPHA_MAX, comp(5) * jnp.exp(power))
     # no valid-column test: all rows < count are live pairs by construction
     # (build_pair_rows), and zeroed pad rows give alpha = 0 < ALPHA_MIN.
@@ -265,8 +274,7 @@ def _chunk_blend(gs, rels, T_in, done, G):
     # lowerable in Mosaic, reduce_min is.
     T_out = jnp.min(jnp.where(contrib, cumT, T_in), axis=0, keepdims=True)
     done_out = jnp.maximum(done, fired[-1:].astype(jnp.float32))
-    return _Blend(alpha, contrib, T_before, w, T_out, done_out, dx, dy,
-                  dxw), comp
+    return _Blend(alpha, contrib, T_before, w, T_out, done_out, dy, dxw), comp
 
 
 def _group_geoms(scratch_block, G, K):
@@ -437,18 +445,19 @@ def _bwd_kernel(gw: int, G: int, start_ref, count_ref, geom_hbm, gimg_ref,
             # Two-stage reductions, sublane axis first: the (K, TILE_W)
             # intermediates pack 8x denser than (K, TILE_H, TILE_W), so the
             # lane-reduction stage runs on 16 vregs instead of 128. dx is
-            # constant over sublanes, so the dx-weighted moments (da, db)
-            # drop to the cheap (K, W) lane stage: sum_hw f*dx*g =
-            # sum_w dx_w * (sum_h f*g) — exact reassociation, no extra
-            # full-block multiplies. The lane stage is SEGMENTED per group
-            # (G independent sums per row, _seg_lane_sum).
+            # constant over sublanes, so EVERY dx-weighted moment (sfx, da,
+            # db) drops to the cheap (K, W) lane stage: sum_hw f*dx*g =
+            # sum_w dx_w * (sum_h f*g) — exact reassociation; the full-width
+            # dpower*dx product and its sublane reduce disappear entirely.
+            # The lane stage is SEGMENTED per group (G independent sums per
+            # row, _group_lane_sums).
             def ssum(x):  # (K, H, W) -> (K, W)
                 return jnp.sum(x, axis=1)
 
             dxw = bl.dxw              # (K, W) packed per-lane dx
-            fdx = dpower * bl.dx
             fdy = dpower * bl.dy
-            A0 = ssum(fdx)            # (K, W)
+            s_dp = ssum(dpower)       # (K, W)
+            A0 = s_dp * dxw           # == ssum(dpower * dx)
             B0 = ssum(fdy)
             reds = [
                 A0,                   # -> sfx
@@ -456,7 +465,7 @@ def _bwd_kernel(gw: int, G: int, start_ref, count_ref, geom_hbm, gimg_ref,
                 A0 * dxw,             # -> -2 da
                 B0 * dxw,             # -> -db
                 ssum(fdy * bl.dy),    # -> -2 dc
-                ssum(dpower),         # -> dop * op
+                s_dp,                 # -> dop * op
                 ssum(w * g_r),        # -> dr
                 ssum(w * g_g),        # -> dg
                 ssum(w * g_b),        # -> dblue
