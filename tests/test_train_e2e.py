@@ -82,3 +82,42 @@ class TestEndToEnd:
         np.testing.assert_allclose(
             np.asarray(out_cached["render"]), np.asarray(out_full["render"]), atol=1e-4
         )
+
+
+def test_pair_buffer_autosize_growth(tiny_setup=None):
+    """_resize_pair_buffer grows the budget monotonically in 32k buckets,
+    rebuilds the step exactly when it grows, and never exceeds the default."""
+    import jax.numpy as jnp
+    from moss_tpu.config import Config, ModelConfig
+    from moss_tpu.data.synthetic import make_scene, make_frames
+    from moss_tpu.train.trainer import Trainer
+    from moss_tpu.ops.binning import default_slot_budget
+    from moss_tpu.ops import rasterize_tpu as rt
+
+    scene = make_scene(n_verts=200)
+    frames, _ = make_frames(scene, n_frames=2, H=64, W=128, crop=48)
+    cfg = Config(model=ModelConfig(sh_degree=1, capacity=256, n_init_points=200))
+    tr = Trainer(scene, frames, frames, cfg, crop_hw=(48, 48))
+    assert tr._autosize
+    # tiny scene: measured need rounds to a bucket >= the safe default -> keep 0
+    assert tr._slot_budget == 0
+    v0 = tr._step_version
+
+    cam = frames[0].camera
+    cap = default_slot_budget(256, cam.height, cam.width, rt.TILE_H, rt.TILE_W,
+                              groups=rt.DEFAULT_GROUPS)
+
+    # force probes: growth must be monotone, bucketed, and capped by default
+    tr._probe_slot_need = lambda f: 1000
+    tr._resize_pair_buffer()
+    if 32768 >= cap:
+        assert tr._slot_budget == 0 and tr._step_version == v0
+    else:
+        assert tr._slot_budget == 32768 and tr._step_version == v0 + 1
+        v0 += 1
+        tr._probe_slot_need = lambda f: 100  # smaller need: never shrink
+        tr._resize_pair_buffer()
+        assert tr._slot_budget == 32768 and tr._step_version == v0
+        tr._probe_slot_need = lambda f: 40000  # bigger: grow one bucket
+        tr._resize_pair_buffer()
+        assert tr._slot_budget == 65536 and tr._step_version == v0 + 1
