@@ -104,3 +104,18 @@ def sh_to_color(deg: int, sh, means3d, campos):
     dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
     rgb = eval_sh(deg, sh, dirs) + 0.5
     return jnp.maximum(rgb, 0.0)
+
+
+def degree_coeff_mask(active_deg, n_coeffs: int):
+    """(n_coeffs, 1) f32 mask of the coefficients live at a TRACED degree.
+
+    Coefficient k is active iff k < (active_deg + 1)^2. Multiplying the SH
+    coefficients by this mask before a full-degree eval_sh is exactly
+    equivalent to eval_sh(active_deg, ...): inactive coefficients contribute
+    zero forward (they are zero-initialized and receive masked gradients, so
+    they stay zero while inactive — the reference's oneupSHdegree warmup
+    semantics) — but the degree is a runtime value, so the train step
+    compiles ONCE instead of once per warmup stage.
+    """
+    n_live = (active_deg + 1) * (active_deg + 1)
+    return (jnp.arange(n_coeffs) < n_live).astype(jnp.float32)[:, None]

@@ -118,18 +118,19 @@ def make_sharded_train_step(
     def init_fn(params):
         return optimizer.init(params)
 
-    @functools.partial(jax.jit, static_argnames=("sh_degree",))
-    def step_fn(ts: TrainState, frames: Frame, sh_degree: int):
+    @jax.jit
+    def step_fn(ts: TrainState, frames: Frame, sh_degree):
         P_cap = ts.params["gauss"].capacity
         cam0 = jax.tree.map(lambda x: x[0], frames.camera)
+        sh_deg = jnp.asarray(sh_degree, jnp.int32)
 
-        def device_forward(params, valid, frames_shard, dummy_shard):
+        def device_forward(params, valid, frames_shard, dummy_shard, sh_deg):
             frame = jax.tree.map(lambda x: x[0], frames_shard)
             out = render_frame(
                 params["gauss"], valid, params.get("mlps"), scene,
-                frame.smpl_params, frame.camera, bg, sh_degree,
+                frame.smpl_params, frame.camera, bg, cfg.model.sh_degree,
                 rasterize_fn=raster, mean2d_offset=dummy_shard[0],  # (P, 2)
-                motion_offset=cfg.model.motion_offset,
+                motion_offset=cfg.model.motion_offset, active_sh=sh_deg,
             )
             total, logs = compute_losses(
                 out, frame.image, frame.bkgd_mask, frame.bound_mask,
@@ -151,7 +152,7 @@ def make_sharded_train_step(
 
         fwd = _shard_map_compat(
             device_forward, mesh,
-            in_specs=(P(), P(), P("data"), P("data")),
+            in_specs=(P(), P(), P("data"), P("data"), P()),
             out_specs=(P(), {
                 "logs": P(),
                 "vis": P("data"), "radii": P("data"),
@@ -160,7 +161,7 @@ def make_sharded_train_step(
         )
 
         def loss_fn(params, dummy):
-            total, aux = fwd(params, ts.gstate.valid, frames, dummy)
+            total, aux = fwd(params, ts.gstate.valid, frames, dummy, sh_deg)
             return total, aux
 
         dummy = jnp.zeros((n_data, P_cap, 2), jnp.float32)

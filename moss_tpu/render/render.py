@@ -57,6 +57,7 @@ def render_frame(
     cached_translation=None,
     motion_offset: bool = True,
     static_scene: bool = False,
+    active_sh=None,
 ):
     """Render one frame.
 
@@ -67,6 +68,8 @@ def render_frame(
       screenspace_points trick, gaussian_renderer/__init__.py:29-33).
     cached_transforms/translation: the MLP-free eval path
       (gaussian_renderer/__init__.py:73-77).
+    active_sh: optional TRACED SH warmup degree (see ops/sh.degree_coeff_mask);
+      sh_degree stays the static maximum.
     """
     means_canonical = params.xyz
     pose_out = None
@@ -100,7 +103,15 @@ def render_frame(
         means3d = apply_cached_transform(means_canonical, transforms, translation)
 
     cov3d = G.get_covariance(params, transform=transforms)
-    color = sh_to_color(sh_degree, G.get_features(params), means3d, camera.cam_center)
+    feats = G.get_features(params)
+    if active_sh is not None:
+        # traced warmup degree: mask coefficients instead of specializing the
+        # program on the degree (ops/sh.degree_coeff_mask) — one compile for
+        # the whole SH warmup instead of one per stage
+        from ..ops.sh import degree_coeff_mask
+
+        feats = feats * degree_coeff_mask(active_sh, feats.shape[1])
+    color = sh_to_color(sh_degree, feats, means3d, camera.cam_center)
     opacity = G.get_opacity(params)
 
     proj = preprocess(means3d, cov3d, color, opacity, camera, valid_mask=valid)

@@ -53,17 +53,20 @@ def make_train_step(
     def init_fn(params):
         return optimizer.init(params)
 
-    @functools.partial(jax.jit, static_argnames=("sh_degree",))
-    def step_fn(ts: TrainState, frame: Frame, sh_degree: int):
+    @jax.jit
+    def step_fn(ts: TrainState, frame: Frame, sh_degree):
+        # sh_degree is TRACED (ops/sh.degree_coeff_mask): one compile covers
+        # the whole SH warmup instead of one per degree stage — the fused-scan
+        # program is expensive to compile on a remote TPU
         P = ts.params["gauss"].capacity
         cam = frame.camera
 
         def loss_fn(params, mean2d_offset):
             out = render_frame(
                 params["gauss"], ts.gstate.valid, params.get("mlps"), scene,
-                frame.smpl_params, cam, bg, sh_degree,
+                frame.smpl_params, cam, bg, cfg.model.sh_degree,
                 rasterize_fn=rasterize_fn, mean2d_offset=mean2d_offset,
-                motion_offset=cfg.model.motion_offset,
+                motion_offset=cfg.model.motion_offset, active_sh=sh_degree,
             )
             total, logs = compute_losses(
                 out, frame.image, frame.bkgd_mask, frame.bound_mask,
@@ -118,9 +121,16 @@ def make_train_step(
     return init_fn, step_fn
 
 
-def active_sh_degree(step: int, max_degree: int) -> int:
-    """SH degree grows every 1000 iterations (train_ZJU.py:85-86)."""
-    return min(step // 1000, max_degree)
+def active_sh_degree(step, max_degree: int):
+    """SH degree grows every 1000 iterations (train_ZJU.py:85-86).
+
+    Works on python ints and traced int32 alike (the train step takes the
+    degree as a runtime value)."""
+    if isinstance(step, int):
+        return min(step // 1000, max_degree)
+    import jax.numpy as jnp
+
+    return jnp.minimum(step // 1000, max_degree)
 
 
 def make_train_many(step_fn):
@@ -133,8 +143,8 @@ def make_train_many(step_fn):
     Densification and SH-degree changes happen between chunks on the host.
     """
 
-    @functools.partial(jax.jit, static_argnames=("sh_degree",))
-    def many_fn(ts: TrainState, frames_stacked: Frame, order, sh_degree: int):
+    @jax.jit
+    def many_fn(ts: TrainState, frames_stacked: Frame, order, sh_degree):
         def body(ts, idx):
             frame = jax.tree.map(lambda x: x[idx], frames_stacked)
             ts, logs = step_fn(ts, frame, sh_degree)

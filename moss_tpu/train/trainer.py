@@ -102,7 +102,11 @@ class Trainer:
     # ------------------------------------------------------------------
     def _probe_slot_need(self, frame) -> int:
         """Exact aligned-slot need of one training frame under the current
-        cloud (binning.measure_slot_need through the full deform chain)."""
+        cloud (binning.measure_slot_need through the full deform chain).
+        The jitted probe is built once and cached — it runs after every
+        densify, and rebuilding the jit wrapper would recompile each time."""
+        if getattr(self, "_need_fn", None) is not None:
+            return int(self._need_fn(self.ts.params, self.ts.gstate.valid, frame))
         from ..ops import rasterize_tpu as rt
         from ..ops.binning import measure_slot_need
 
@@ -127,6 +131,7 @@ class Trainer:
             )
             return out["need"]
 
+        self._need_fn = need_fn
         return int(need_fn(self.ts.params, self.ts.gstate.valid, frame))
 
     def _resize_pair_buffer(self):
@@ -174,13 +179,15 @@ class Trainer:
         bg = jnp.ones(3) if self.cfg.model.white_background else jnp.zeros(3)
         lp = self.lpips_params
 
-        @functools.partial(jax.jit, static_argnames=("sh_degree",))
+        @jax.jit
         def eval_fn(params, valid, frame, sh_degree):
+            # sh_degree traced (coefficient mask) — one compile per budget
+            # version instead of one per warmup stage
             out = render_frame(
                 params["gauss"], valid, params.get("mlps"), self.scene,
-                frame.smpl_params, frame.camera, bg, sh_degree,
+                frame.smpl_params, frame.camera, bg, self.cfg.model.sh_degree,
                 rasterize_fn=self.rasterize_fn,
-                motion_offset=self.cfg.model.motion_offset,
+                motion_offset=self.cfg.model.motion_offset, active_sh=sh_degree,
             )
             img = jnp.clip(out["render"], 0.0, 1.0)
             gt = jnp.clip(frame.image, 0.0, 1.0)

@@ -40,6 +40,19 @@ class TestSH:
         o2 = sh.eval_sh(1, coeffs, d2)
         assert not np.allclose(o1, o2)
 
+    def test_degree_coeff_mask_equals_low_degree_eval(self, rng):
+        # masking coefficients at a traced degree == evaluating at that degree
+        coeffs = rng.normal(size=(6, 16, 3)).astype(np.float32)
+        dirs = rng.normal(size=(6, 3)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        coeffs, dirs = jnp.asarray(coeffs), jnp.asarray(dirs)
+        for deg in range(4):
+            masked = coeffs * sh.degree_coeff_mask(jnp.int32(deg), 16)
+            np.testing.assert_allclose(
+                sh.eval_sh(3, masked, dirs), sh.eval_sh(deg, coeffs, dirs),
+                rtol=1e-5, atol=1e-6,
+            )
+
     def test_golden_deg1_z(self):
         # dir = +z: result = C0*sh0 + C1*sh2
         coeffs = np.zeros((1, 4, 3), np.float32)
