@@ -137,6 +137,14 @@ def conic_and_radius(cov2d):
     return conic, radius, det
 
 
+def mark_visible(means3d, world_view, full_proj):
+    """(P,) bool frustum visibility (reference markVisible,
+    rasterizer_impl.cu:141-153 / auxiliary.h:139-152: near-plane-only check
+    prefiltering before training on a view)."""
+    depth, _ = project_points(means3d, world_view, full_proj)
+    return depth > NEAR_Z
+
+
 def preprocess(
     means3d,
     cov3d_packed,

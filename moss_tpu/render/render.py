@@ -58,6 +58,8 @@ def render_frame(
     motion_offset: bool = True,
     static_scene: bool = False,
     active_sh=None,
+    scaling_modifier: float = 1.0,
+    override_color=None,
 ):
     """Render one frame.
 
@@ -102,16 +104,23 @@ def render_frame(
     else:
         means3d = apply_cached_transform(means_canonical, transforms, translation)
 
-    cov3d = G.get_covariance(params, transform=transforms)
-    feats = G.get_features(params)
-    if active_sh is not None:
-        # traced warmup degree: mask coefficients instead of specializing the
-        # program on the degree (ops/sh.degree_coeff_mask) — one compile for
-        # the whole SH warmup instead of one per stage
-        from ..ops.sh import degree_coeff_mask
+    cov3d = G.get_covariance(
+        params, transform=transforms, scaling_modifier=scaling_modifier
+    )
+    if override_color is not None:
+        # reference render(override_color=...) bypasses SH entirely
+        # (gaussian_renderer/__init__.py:21,100-107)
+        color = override_color
+    else:
+        feats = G.get_features(params)
+        if active_sh is not None:
+            # traced warmup degree: mask coefficients instead of specializing
+            # the program on the degree (ops/sh.degree_coeff_mask) — one
+            # compile for the whole SH warmup instead of one per stage
+            from ..ops.sh import degree_coeff_mask
 
-        feats = feats * degree_coeff_mask(active_sh, feats.shape[1])
-    color = sh_to_color(sh_degree, feats, means3d, camera.cam_center)
+            feats = feats * degree_coeff_mask(active_sh, feats.shape[1])
+        color = sh_to_color(sh_degree, feats, means3d, camera.cam_center)
     opacity = G.get_opacity(params)
 
     proj = preprocess(means3d, cov3d, color, opacity, camera, valid_mask=valid)

@@ -84,6 +84,59 @@ class TestEndToEnd:
         )
 
 
+class TestRenderAPISurface:
+    """Reference render() extras: override_color, scaling_modifier, markVisible
+    (gaussian_renderer/__init__.py:21; rasterizer_impl.cu:141-153)."""
+
+    def test_override_color_and_scaling_modifier(self, setup):
+        scene, frames, cfg = setup
+        tr = Trainer(scene, frames, frames[:1], cfg, crop_hw=(48, 48))
+        frame = frames[0]
+        from moss_tpu.render.render import render_frame
+
+        P = tr.ts.params["gauss"].capacity
+        flat = jnp.tile(jnp.array([[1.0, 0.0, 0.0]]), (P, 1))
+        out = render_frame(
+            tr.ts.params["gauss"], tr.ts.gstate.valid, tr.ts.params.get("mlps"),
+            scene, frame.smpl_params, frame.camera, jnp.zeros(3), 1,
+            rasterize_fn=tr.rasterize_fn, override_color=flat,
+        )
+        img = np.asarray(out["render"])
+        # all-red cloud on black background: green/blue channels stay 0
+        assert img[..., 0].max() > 0.1
+        np.testing.assert_allclose(img[..., 1:], 0.0, atol=1e-6)
+
+        out_small = render_frame(
+            tr.ts.params["gauss"], tr.ts.gstate.valid, tr.ts.params.get("mlps"),
+            scene, frame.smpl_params, frame.camera, jnp.zeros(3), 1,
+            rasterize_fn=tr.rasterize_fn, scaling_modifier=0.25,
+        )
+        out_base = render_frame(
+            tr.ts.params["gauss"], tr.ts.gstate.valid, tr.ts.params.get("mlps"),
+            scene, frame.smpl_params, frame.camera, jnp.zeros(3), 1,
+            rasterize_fn=tr.rasterize_fn,
+        )
+        # shrunk splats cover less: alpha mass strictly drops
+        assert float(out_small["render_alpha"].sum()) < float(out_base["render_alpha"].sum())
+
+    def test_mark_visible(self, setup):
+        scene, frames, cfg = setup
+        frame = frames[0]
+        from moss_tpu.ops.projection import mark_visible
+
+        pts = np.asarray(scene.big_pose_vertices)
+        vis = np.asarray(mark_visible(
+            jnp.asarray(pts), frame.camera.world_view, frame.camera.full_proj
+        ))
+        assert vis.shape == (pts.shape[0],) and vis.dtype == bool
+        assert vis.all()  # the synthetic rig looks at the body
+        behind = jnp.asarray(np.asarray(frame.camera.cam_center)[None, :])
+        # a point exactly at the camera center has view z = 0 < NEAR_Z
+        assert not bool(mark_visible(
+            behind, frame.camera.world_view, frame.camera.full_proj
+        )[0])
+
+
 def test_pair_buffer_autosize_growth(tiny_setup=None):
     """_resize_pair_buffer grows the budget monotonically in 32k buckets,
     rebuilds the step exactly when it grows, and never exceeds the default."""

@@ -30,6 +30,10 @@ def parse_args():
     p.add_argument("--white_background", action="store_true")
     p.add_argument("--rasterizer", choices=["pallas", "reference"], default="pallas")
     p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="abort on the first NaN in any jitted computation "
+                        "(TPU analog of the reference's --detect_anomaly, "
+                        "train_ZJU.py:305,328)")
     p.add_argument("--crop", type=int, default=256, help="static SSIM/LPIPS crop size")
     return p.parse_args()
 
@@ -104,6 +108,10 @@ def train_subject(args, subject: str):
 
 def main():
     args = parse_args()
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     os.makedirs(os.path.dirname(args.result_file) or ".", exist_ok=True)
     for subject in args.subjects:
         with open(args.result_file, "a") as f:
