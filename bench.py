@@ -45,6 +45,10 @@ def _queued_time(fn, *args, n: int = 10):
 
 def main():
     import jax
+
+    import moss_tpu
+
+    moss_tpu.enable_compilation_cache()
     import jax.numpy as jnp
 
     from moss_tpu.ops import transforms as tf

@@ -19,3 +19,30 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def enable_compilation_cache(path: str = None) -> None:
+    """Turn on JAX's persistent compilation cache (idempotent).
+
+    The fused train-step program takes minutes to build on a remote TPU; the
+    reference amortizes nothing (CUDA kernels are precompiled), so this is the
+    TPU-native equivalent of shipping compiled kernels. Trainer/bench/driver
+    entry points call this; MOSS_COMPILE_CACHE overrides the location, or set
+    it to "0" to disable.
+    """
+    import os
+
+    env = os.environ.get("MOSS_COMPILE_CACHE", "")
+    if env == "0":
+        return
+    path = env or path or "/tmp/moss_jax_cache"
+    import jax
+
+    try:
+        if jax.config.jax_compilation_cache_dir == path:
+            return
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass

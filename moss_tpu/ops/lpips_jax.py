@@ -142,7 +142,32 @@ def _features(params, x, dtype) -> List[jnp.ndarray]:
     return feats
 
 
-def lpips(params: Dict, img1, img2, dtype=jnp.float32):
+def _norm_input(im):
+    x = im * 2.0 - 1.0
+    return (x - _SHIFT) / _SCALE
+
+
+def gt_features(params: Dict, img, dtype=jnp.bfloat16) -> List[jnp.ndarray]:
+    """Precompute the (static) ground-truth tower for lpips(cached_f2=...).
+
+    The gt image never changes across training steps, so its VGG tower —
+    a full forward every iteration in the reference (train_ZJU.py:121) — can
+    be computed once per frame at staging time and reused for the whole run.
+    Returns the 5 stage feature maps (1, H', W', C) in `dtype`.
+    """
+    return _features(params, _norm_input(img)[None], dtype)
+
+
+def gt_feature_bytes(h: int, w: int, dtype_bytes: int = 2) -> int:
+    """Per-frame byte cost of a cached gt tower at input size (h, w)."""
+    total = 0
+    for out_ch, _ in _VGG_CFG:
+        total += h * w * out_ch * dtype_bytes
+        h, w = max(h // 2, 1), max(w // 2, 1)
+    return total
+
+
+def lpips(params: Dict, img1, img2=None, dtype=jnp.float32, cached_f2=None):
     """Perceptual distance. Images (H, W, 3) in [0, 1]. Returns scalar.
 
     dtype: activation dtype for the VGG towers. The metric path keeps the
@@ -150,15 +175,16 @@ def lpips(params: Dict, img1, img2, dtype=jnp.float32):
     passes bf16 — v5e MXU convs already run inputs at bf16 precision, so
     bf16 activations only halve the HBM traffic of the memory-bound conv
     stages (the unit-normalize + distance head stays f32 either way).
-    """
-    def norm_input(im):
-        x = im * 2.0 - 1.0
-        return (x - _SHIFT) / _SCALE
 
-    x1 = norm_input(img1)[None]
-    x2 = norm_input(img2)[None]
+    cached_f2: optional precomputed gt tower (gt_features) replacing img2 —
+    saves one full VGG forward per step when the target is static.
+    """
+    x1 = _norm_input(img1)[None]
     f1 = _features(params, x1, dtype)
-    f2 = _features(params, x2, dtype)
+    if cached_f2 is not None:
+        f2 = cached_f2
+    else:
+        f2 = _features(params, _norm_input(img2)[None], dtype)
     total = 0.0
     for a, b, lin in zip(f1, f2, params["lins"]):
         a = a.astype(jnp.float32)

@@ -55,6 +55,7 @@ def compute_losses(
     crop_w: int,
     lpips_params=None,
     weights: LossWeights = LossWeights(),
+    gt_lpips_feats=None,
 ):
     img = render_out["render"]
     alpha = render_out["render_alpha"]
@@ -77,7 +78,13 @@ def compute_losses(
     # HBM traffic of the memory-bound VGG stages without changing compute
     # precision class (see lpips_jax.lpips docstring; tolerance test in
     # tests/test_losses_parity.py).
-    lpips_loss = lpips_jax.lpips(lpips_params, img_c, gt_c, dtype=jnp.bfloat16)
+    # gt_lpips_feats: precomputed gt tower (lpips_jax.gt_features) staged
+    # once per frame by the Trainer — the gt image is constant across the
+    # run, so its VGG forward need not be recomputed every step
+    lpips_loss = lpips_jax.lpips(
+        lpips_params, img_c, gt_c, dtype=jnp.bfloat16,
+        cached_f2=gt_lpips_feats,
+    )
 
     pose_out = render_out.get("pose_out")
     if pose_out is not None:

@@ -54,7 +54,7 @@ def make_train_step(
         return optimizer.init(params)
 
     @jax.jit
-    def step_fn(ts: TrainState, frame: Frame, sh_degree):
+    def step_fn(ts: TrainState, frame: Frame, sh_degree, gt_lpips_feats=None):
         # sh_degree is TRACED (ops/sh.degree_coeff_mask): one compile covers
         # the whole SH warmup instead of one per degree stage — the fused-scan
         # program is expensive to compile on a remote TPU
@@ -72,6 +72,7 @@ def make_train_step(
                 out, frame.image, frame.bkgd_mask, frame.bound_mask,
                 frame.pose_rotmats, frame.crop_y0, frame.crop_x0,
                 crop_h, crop_w, lpips_params=lpips_params, weights=weights,
+                gt_lpips_feats=gt_lpips_feats,
             )
             return total, (out, logs)
 
@@ -144,10 +145,15 @@ def make_train_many(step_fn):
     """
 
     @jax.jit
-    def many_fn(ts: TrainState, frames_stacked: Frame, order, sh_degree):
+    def many_fn(ts: TrainState, frames_stacked: Frame, order, sh_degree,
+                gt_lpips_feats=None):
         def body(ts, idx):
             frame = jax.tree.map(lambda x: x[idx], frames_stacked)
-            ts, logs = step_fn(ts, frame, sh_degree)
+            feats = (
+                jax.tree.map(lambda x: x[idx], gt_lpips_feats)
+                if gt_lpips_feats is not None else None
+            )
+            ts, logs = step_fn(ts, frame, sh_degree, feats)
             return ts, logs
 
         ts, logs_seq = jax.lax.scan(body, ts, order)

@@ -61,6 +61,9 @@ class Trainer:
         extent: float = 1.0,  # monocular radius forced to 1 (dataset_readers.py:714)
         log_fn: Optional[Callable[[int, Dict], None]] = None,
     ):
+        from .. import enable_compilation_cache
+
+        enable_compilation_cache()
         self.scene = scene
         self.cfg = cfg
         self.train_frames = train_frames
@@ -139,13 +142,26 @@ class Trainer:
         budget (1.5x headroom, 32k buckets, never shrinks) — rebuilding the
         jitted step only when the bucket grows. Called at init and after every
         densify (the only times the cloud changes shape); the overflow counter
-        in the step logs would expose any drop this policy ever allowed."""
+        in the step logs would expose any drop this policy ever allowed.
+
+        At INIT with densification ahead the headroom is 2x, not 1.5x: the
+        cloud grows during the densify window, and a mid-run bucket growth
+        recompiles the fused train program (~1 min on a remote TPU) while the
+        fatter buffer costs ~0.3 ms/step in the backward scatter — measured on
+        the full-scale e2e run, 2x headroom absorbs the growth entirely."""
         if not self._autosize or not self.train_frames:
             return
         need = max(
             self._probe_slot_need(f) for f in self.train_frames[:2]
         )
-        budget = -(-(need * 3 // 2) // 32768) * 32768
+        o = self.cfg.optim
+        densify_ahead = (
+            self._slot_budget == 0
+            and o.densify_until_iter > o.densify_from_iter
+            and o.iterations > o.densify_from_iter
+        )
+        factor = 2.0 if densify_ahead else 1.5
+        budget = -(-int(need * factor) // 32768) * 32768
         if budget <= self._slot_budget:
             return
         # above the safe default there is nothing to gain — keep the default
@@ -203,6 +219,31 @@ class Trainer:
         return eval_fn
 
     # ------------------------------------------------------------------
+    def _stage_gt_lpips_feats(self):
+        """Precompute every train frame's gt LPIPS tower (lpips_jax.gt_features)
+        once — the gt images are constant, so the reference's per-step gt VGG
+        forward (train_ZJU.py:121) is pure recomputation. Returns a stacked
+        pytree (list of 5 (F, 1, H', W', C) bf16 arrays) or None when the
+        cache would exceed the HBM budget (MOSS_LPIPS_GT_CACHE bytes,
+        default 2 GiB; set 0 to disable)."""
+        if self.cfg.optim.w_lpips == 0.0 or not self.train_frames:
+            return None
+        budget = int(os.environ.get("MOSS_LPIPS_GT_CACHE", 2 << 30))
+        ch, cw = self.crop_hw
+        per_frame = lpips_jax.gt_feature_bytes(ch, cw)
+        if budget <= 0 or per_frame * len(self.train_frames) > budget:
+            return None
+        from .losses import crop_window
+
+        @jax.jit
+        def one(frame):
+            gt_c = crop_window(frame.image, frame.crop_y0, frame.crop_x0, ch, cw)
+            return lpips_jax.gt_features(self.lpips_params, gt_c)
+
+        feats = [one(f) for f in self.train_frames]
+        return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *feats)
+
+    # ------------------------------------------------------------------
     def _host_boundaries(self, iters: int, eval_iters) -> List[int]:
         """Iterations after which host-side work runs (densify, opacity reset,
         SH-degree bump, eval, logging cadence)."""
@@ -247,6 +288,7 @@ class Trainer:
 
             frames_stacked = stack_frames(self.train_frames)
             many_fn = make_train_many(self.step_fn)
+            gt_feats = self._stage_gt_lpips_feats()
 
         def host_work(it, logs):
             o = cfg.optim
@@ -279,7 +321,9 @@ class Trainer:
                         version = self._step_version
                     deg = active_sh_degree(prev + 1, cfg.model.sh_degree)
                     chunk = jnp.asarray(order[prev:bound])
-                    self.ts, logs = many_fn(self.ts, frames_stacked, chunk, deg)
+                    self.ts, logs = many_fn(
+                        self.ts, frames_stacked, chunk, deg, gt_feats
+                    )
                     host_work(bound, logs)
                     prev = bound
         else:

@@ -126,6 +126,9 @@ def render_subject(args, subject: str, iteration: int):
 
 def main():
     args = parse_args()
+    import moss_tpu
+
+    moss_tpu.enable_compilation_cache()
     for subject, iteration in zip(args.subjects, args.iterations):
         render_subject(args, subject, iteration)
 

@@ -106,3 +106,56 @@ def test_lpips_bf16_close_to_f32():
     bf16 = float(lpips_jax.lpips(p, a, b, dtype=jnp.bfloat16))
     assert f32 > 0
     assert abs(bf16 - f32) / f32 < 2e-2, (f32, bf16)
+
+
+def test_lpips_cached_gt_tower_exact():
+    """lpips(cached_f2=gt_features(gt)) must equal the inline two-tower form
+    bit-for-bit (the gt tower is the same computation, just hoisted)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from moss_tpu.ops import lpips_jax
+
+    rng = np.random.default_rng(11)
+    p = lpips_jax.get_default_params()
+    a = jnp.asarray(rng.random((64, 64, 3)).astype(np.float32))
+    b = jnp.asarray(rng.random((64, 64, 3)).astype(np.float32))
+    inline = float(lpips_jax.lpips(p, a, b, dtype=jnp.bfloat16))
+    feats = lpips_jax.gt_features(p, b, dtype=jnp.bfloat16)
+    cached = float(lpips_jax.lpips(p, a, dtype=jnp.bfloat16, cached_f2=feats))
+    assert inline == cached, (inline, cached)
+
+
+def test_trainer_gt_lpips_cache_step_parity():
+    """One fused-dispatch step with the staged gt-feature cache must produce
+    the same loss as the uncached step (identical math, hoisted gt tower)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from moss_tpu.config import Config, ModelConfig, OptimConfig, PipelineConfig
+    from moss_tpu.data.synthetic import make_frames, make_scene
+    from moss_tpu.train.trainer import Trainer
+    from moss_tpu.train.train_step import make_train_many
+
+    scene = make_scene(n_verts=200)
+    frames, _ = make_frames(scene, n_frames=2, H=64, W=64)
+    cfg = Config(
+        model=ModelConfig(sh_degree=1, capacity=256, n_init_points=200),
+        pipe=PipelineConfig(rasterizer="reference"),
+    )
+    tr = Trainer(scene, frames, frames[:1], cfg, crop_hw=(48, 48))
+    feats = tr._stage_gt_lpips_feats()
+    assert feats is not None and feats[0].shape[0] == 2
+
+    from moss_tpu.parallel.sharded import stack_frames
+
+    stacked = stack_frames(frames)
+    many = make_train_many(tr.step_fn)
+    order = jnp.asarray([0, 1], jnp.int32)
+    _, logs_cached = many(tr.ts, stacked, order, 1, feats)
+    _, logs_plain = many(tr.ts, stacked, order, 1, None)
+    np.testing.assert_allclose(
+        float(logs_cached["lpips"]), float(logs_plain["lpips"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(logs_cached["loss"]), float(logs_plain["loss"]), rtol=1e-6
+    )

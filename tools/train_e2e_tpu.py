@@ -19,6 +19,9 @@ def main():
     from moss_tpu.data.synthetic import make_scene, make_frames
     from moss_tpu.train.trainer import Trainer
 
+    import moss_tpu
+
+    moss_tpu.enable_compilation_cache()
     t0 = time.time()
     scene = make_scene(n_verts=6890)
     frames, _ = make_frames(scene, n_frames=12, H=512, W=512, crop=448)
@@ -27,7 +30,17 @@ def main():
         optim=OptimConfig(iterations=3000),
         pipe=PipelineConfig(test_iterations=(2500, 2700, 3000)),
     )
-    tr = Trainer(scene, frames[:10], frames[10:], cfg, crop_hw=(448, 448))
+    tlog = {"last": time.time()}
+
+    def log(it, logs):
+        now = time.time()
+        print(f"  chunk -> iter {it}: {now - tlog['last']:.1f}s "
+              f"(pts {int(logs['num_points'])}, budget {tr._slot_budget})",
+              flush=True)
+        tlog["last"] = now
+
+    tr = Trainer(scene, frames[:10], frames[10:], cfg, crop_hw=(448, 448),
+                 log_fn=log)
     print(f"setup {time.time()-t0:.0f}s; init slot budget {tr._slot_budget}")
     m0 = tr.evaluate()
     print(f"eval before: {m0}")
