@@ -311,19 +311,32 @@ class Trainer:
                 self.metrics_history.append(m)
 
         if fused_dispatch:
+            import math
+
+            boundaries = self._host_boundaries(iters, eval_iters)
+            # A lax.scan's length is baked into the compiled program, so every
+            # DISTINCT chunk length would recompile the fused step (~1 min on
+            # a remote TPU). Dispatch in fixed-size blocks of the gcd of the
+            # boundary gaps instead — one compile serves the whole schedule
+            # (all standard schedules have gcd 100); the extra dispatches cost
+            # only a host round trip each.
+            gaps = [b - a for a, b in zip([0] + boundaries, boundaries) if b > a]
+            block = math.gcd(*gaps) if gaps else iters
             prev = 0
             version = self._step_version
-            for bound in self._host_boundaries(iters, eval_iters):
+            for bound in boundaries:
                 if bound > prev:
                     if self._step_version != version:
                         # pair-buffer budget grew at a densify boundary
                         many_fn = make_train_many(self.step_fn)
                         version = self._step_version
-                    deg = active_sh_degree(prev + 1, cfg.model.sh_degree)
-                    chunk = jnp.asarray(order[prev:bound])
-                    self.ts, logs = many_fn(
-                        self.ts, frames_stacked, chunk, deg, gt_feats
-                    )
+                    logs = None
+                    for s in range(prev, bound, block):
+                        deg = active_sh_degree(s + 1, cfg.model.sh_degree)
+                        chunk = jnp.asarray(order[s:s + block])
+                        self.ts, logs = many_fn(
+                            self.ts, frames_stacked, chunk, deg, gt_feats
+                        )
                     host_work(bound, logs)
                     prev = bound
         else:
