@@ -95,3 +95,33 @@ def zju_preset(subject: str = "377") -> Config:
 
 def monocap_preset(seq: str = "olek_images0812") -> Config:
     return dataclasses.replace(Config(), exp_name=f"monocap/{seq}")
+
+
+def save_json(cfg: Config, path: str) -> None:
+    """Persist the experiment config (the reference dumps an eval()-able
+    Namespace repr to cfg_args, arguments/__init__.py:94-102 — this is the
+    JSON equivalent, re-read by render drivers via load_json)."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2)
+
+
+def load_json(path: str) -> Config:
+    """Rebuild a Config from save_json output; unknown keys are rejected."""
+    import json
+
+    with open(path) as f:
+        raw = json.load(f)
+    pipe = raw.get("pipe", {})
+    for k in ("test_iterations", "save_iterations"):
+        if k in pipe:
+            pipe[k] = tuple(pipe[k])
+    return Config(
+        model=ModelConfig(**raw.get("model", {})),
+        optim=OptimConfig(**raw.get("optim", {})),
+        pipe=PipelineConfig(**pipe),
+        **{k: v for k, v in raw.items() if k not in ("model", "optim", "pipe")},
+    )

@@ -174,3 +174,21 @@ def test_pair_buffer_autosize_growth(tiny_setup=None):
         tr._probe_slot_need = lambda f: 40000  # bigger: grow one bucket
         tr._resize_pair_buffer()
         assert tr._slot_budget == 65536 and tr._step_version == v0 + 1
+
+
+def test_config_json_roundtrip(tmp_path):
+    import dataclasses
+    from moss_tpu.config import (
+        Config, ModelConfig, OptimConfig, save_json, load_json,
+    )
+
+    c = dataclasses.replace(
+        Config(
+            model=ModelConfig(sh_degree=2, capacity=1024),
+            optim=OptimConfig(iterations=123, w_lpips=0.7),
+        ),
+        exp_name="roundtrip", model_path=str(tmp_path / "out"),
+    )
+    p = str(tmp_path / "cfg.json")
+    save_json(c, p)
+    assert load_json(p) == c

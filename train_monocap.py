@@ -60,6 +60,9 @@ def train_sequence(args, seq: str):
         exp_name=f"monocap/{seq}",
         model_path=os.path.join(args.output, seq),
     )
+    from moss_tpu.config import save_json
+
+    save_json(cfg, os.path.join(cfg.model_path, "cfg.json"))
     tb = TBWriter(cfg.model_path if args.tensorboard else None)
     ema = EMALogger()
     t0 = time.time()

@@ -70,6 +70,9 @@ def train_subject(args, subject: str):
         exp_name=f"zju_mocap_refine/my_{subject}",
         model_path=os.path.join(args.output, f"my_{subject}"),
     )
+    from moss_tpu.config import save_json
+
+    save_json(cfg, os.path.join(cfg.model_path, "cfg.json"))
     tb = TBWriter(cfg.model_path if args.tensorboard else None)
     ema = EMALogger()
     t0 = time.time()
