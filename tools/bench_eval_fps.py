@@ -1,0 +1,86 @@
+"""Eval-mode (novel-view) render FPS on the real TPU.
+
+The reference measures wall-clock FPS over the test set with the MLP-free
+cached-transform path (/root/reference/render_ZJU.py:56-72). Same measurement
+here: render_frame with cached transforms/translation (no correction MLPs) at
+512x512 on a 46k-capacity cloud, difference-method timing (link-latency
+robust, see bench.py).
+
+Run: PYTHONPATH=/root/.axon_site:/root/repo python tools/bench_eval_fps.py
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def queued_time(fn, *args, n: int = 20):
+    v = fn(*args)
+    _ = np.asarray(v).sum()
+    t0 = time.time()
+    for _ in range(n):
+        v = fn(*args)
+    _ = np.asarray(v).sum()
+    t1 = time.time()
+    for _ in range(2 * n):
+        v = fn(*args)
+    _ = np.asarray(v).sum()
+    t2 = time.time()
+    return ((t2 - t1) - (t1 - t0)) / n
+
+
+def main():
+    import moss_tpu
+
+    moss_tpu.enable_compilation_cache()
+    from moss_tpu.config import Config, ModelConfig
+    from moss_tpu.data.synthetic import make_scene, make_frames
+    from moss_tpu.render.render import render_frame
+    from moss_tpu.train.trainer import Trainer
+
+    scene = make_scene(n_verts=6890)
+    frames, _ = make_frames(scene, n_frames=3, H=512, W=512, crop=448)
+    cfg = Config(model=ModelConfig(sh_degree=3, capacity=46080,
+                                   n_init_points=6890))
+    tr = Trainer(scene, frames[:2], frames[2:], cfg, crop_hw=(448, 448))
+    frame = frames[2]
+    out = tr.render_eval(frame)
+    transforms, translation = out["transforms"], out["translation"]
+    bg = jnp.zeros(3)
+
+    @jax.jit
+    def cached_render(frame, transforms, translation):
+        out = render_frame(
+            tr.ts.params["gauss"], tr.ts.gstate.valid, None, scene,
+            frame.smpl_params, frame.camera, bg, cfg.model.sh_degree,
+            rasterize_fn=tr.rasterize_fn,
+            cached_transforms=transforms, cached_translation=translation,
+        )
+        return out["render"]
+
+    dt = queued_time(cached_render, frame, transforms, translation)
+    print(f"eval render: {dt * 1e3:.2f} ms/frame = {1.0 / dt:.1f} FPS "
+          f"(512x512, 46k cap, cached-transform MLP-free path)")
+
+    # full path (MLPs + deform) for comparison — what a live viewer
+    # driving novel poses would pay
+    @jax.jit
+    def full_render(frame):
+        out = render_frame(
+            tr.ts.params["gauss"], tr.ts.gstate.valid,
+            tr.ts.params.get("mlps"), scene,
+            frame.smpl_params, frame.camera, bg, cfg.model.sh_degree,
+            rasterize_fn=tr.rasterize_fn,
+        )
+        return out["render"]
+
+    dt2 = queued_time(full_render, frame)
+    print(f"full render: {dt2 * 1e3:.2f} ms/frame = {1.0 / dt2:.1f} FPS "
+          f"(with pose MLPs + LBS deform)")
+
+
+if __name__ == "__main__":
+    main()
