@@ -119,13 +119,21 @@ def make_sharded_train_step(
         return optimizer.init(params)
 
     @jax.jit
-    def step_fn(ts: TrainState, frames: Frame, sh_degree):
+    def step_fn(ts: TrainState, frames: Frame, sh_degree, gt_lpips_feats=None):
         P_cap = ts.params["gauss"].capacity
         cam0 = jax.tree.map(lambda x: x[0], frames.camera)
         sh_deg = jnp.asarray(sh_degree, jnp.int32)
+        has_feats = gt_lpips_feats is not None
 
-        def device_forward(params, valid, frames_shard, dummy_shard, sh_deg):
+        def device_forward(params, valid, frames_shard, dummy_shard, sh_deg,
+                           *feats_shard):
             frame = jax.tree.map(lambda x: x[0], frames_shard)
+            # (1, 1, H', W', C) per stage when the gt LPIPS cache is staged
+            # (one frame per 'data' shard) — same hoisted-gt-tower trick as
+            # the single-chip step
+            feats = (
+                [f[0] for f in feats_shard] if has_feats else None
+            )
             out = render_frame(
                 params["gauss"], valid, params.get("mlps"), scene,
                 frame.smpl_params, frame.camera, bg, cfg.model.sh_degree,
@@ -136,6 +144,7 @@ def make_sharded_train_step(
                 out, frame.image, frame.bkgd_mask, frame.bound_mask,
                 frame.pose_rotmats, frame.crop_y0, frame.crop_x0,
                 crop_h, crop_w, lpips_params=lpips_params, weights=weights,
+                gt_lpips_feats=feats,
             )
             total = jax.lax.pmean(total, "data")
             logs = jax.tree.map(lambda x: jax.lax.pmean(x, "data"), logs)
@@ -150,9 +159,11 @@ def make_sharded_train_step(
             }
             return total, aux
 
+        n_feats = len(gt_lpips_feats) if has_feats else 0
         fwd = _shard_map_compat(
             device_forward, mesh,
-            in_specs=(P(), P(), P("data"), P("data"), P()),
+            in_specs=(P(), P(), P("data"), P("data"), P())
+            + (P("data"),) * n_feats,
             out_specs=(P(), {
                 "logs": P(),
                 "vis": P("data"), "radii": P("data"),
@@ -161,7 +172,10 @@ def make_sharded_train_step(
         )
 
         def loss_fn(params, dummy):
-            total, aux = fwd(params, ts.gstate.valid, frames, dummy, sh_deg)
+            total, aux = fwd(
+                params, ts.gstate.valid, frames, dummy, sh_deg,
+                *(gt_lpips_feats if has_feats else ()),
+            )
             return total, aux
 
         dummy = jnp.zeros((n_data, P_cap, 2), jnp.float32)

@@ -30,7 +30,7 @@ from ..ops.ssim import ssim as ssim_fn
 from ..render.render import SceneContext, render_frame
 from . import checkpoint as ckpt
 from .densify import densify_and_prune
-from .train_step import TrainState, active_sh_degree, make_train_many, make_train_step
+from .train_step import TrainState, active_sh_degree, make_train_step
 
 
 def init_gaussians_and_mlps(scene: SceneContext, cfg: Config, key, init_colors=None):
@@ -219,13 +219,14 @@ class Trainer:
         return eval_fn
 
     # ------------------------------------------------------------------
-    def _stage_gt_lpips_feats(self):
+    def _stage_gt_lpips_feats(self, stacked: bool = True):
         """Precompute every train frame's gt LPIPS tower (lpips_jax.gt_features)
         once — the gt images are constant, so the reference's per-step gt VGG
         forward (train_ZJU.py:121) is pure recomputation. Returns a stacked
-        pytree (list of 5 (F, 1, H', W', C) bf16 arrays) or None when the
-        cache would exceed the HBM budget (MOSS_LPIPS_GT_CACHE bytes,
-        default 2 GiB; set 0 to disable)."""
+        pytree (list of 5 (F, 1, H', W', C) bf16 arrays), a per-frame list
+        when stacked=False, or None when the cache would exceed the HBM
+        budget (MOSS_LPIPS_GT_CACHE bytes, default 2 GiB; set 0 to
+        disable)."""
         if self.cfg.optim.w_lpips == 0.0 or not self.train_frames:
             return None
         budget = int(os.environ.get("MOSS_LPIPS_GT_CACHE", 2 << 30))
@@ -241,6 +242,8 @@ class Trainer:
             return lpips_jax.gt_features(self.lpips_params, gt_c)
 
         feats = [one(f) for f in self.train_frames]
+        if not stacked:
+            return feats
         return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *feats)
 
     # ------------------------------------------------------------------
@@ -284,11 +287,9 @@ class Trainer:
         order = np.asarray(order[:iters], np.int32)
 
         if fused_dispatch and len(self.train_frames) > 0:
-            from ..parallel.sharded import stack_frames
-
-            frames_stacked = stack_frames(self.train_frames)
-            many_fn = make_train_many(self.step_fn)
-            gt_feats = self._stage_gt_lpips_feats()
+            # per-frame list (device-resident): queued dispatch needs no
+            # stacking/gather at all
+            gt_feats_list = self._stage_gt_lpips_feats(stacked=False)
 
         def host_work(it, logs):
             o = cfg.optim
@@ -311,31 +312,24 @@ class Trainer:
                 self.metrics_history.append(m)
 
         if fused_dispatch:
-            import math
-
-            boundaries = self._host_boundaries(iters, eval_iters)
-            # A lax.scan's length is baked into the compiled program, so every
-            # DISTINCT chunk length would recompile the fused step (~1 min on
-            # a remote TPU). Dispatch in fixed-size blocks of the gcd of the
-            # boundary gaps instead — one compile serves the whole schedule
-            # (all standard schedules have gcd 100); the extra dispatches cost
-            # only a host round trip each.
-            gaps = [b - a for a, b in zip([0] + boundaries, boundaries) if b > a]
-            block = math.gcd(*gaps) if gaps else iters
+            # Queued async dispatch: between host boundaries every step is
+            # dispatched without any device fetch, so the per-step host round
+            # trip is hidden behind device execution; the single fetch at the
+            # boundary (host_work's logs) drains the queue. Measured FASTER
+            # than a lax.scan of the same step (17.6 vs 27.7 ms/iter at the
+            # reference shape — the scan's loop-carried state costs more than
+            # async dispatch does) and it compiles ONE program total.
             prev = 0
-            version = self._step_version
-            for bound in boundaries:
+            for bound in self._host_boundaries(iters, eval_iters):
                 if bound > prev:
-                    if self._step_version != version:
-                        # pair-buffer budget grew at a densify boundary
-                        many_fn = make_train_many(self.step_fn)
-                        version = self._step_version
                     logs = None
-                    for s in range(prev, bound, block):
-                        deg = active_sh_degree(s + 1, cfg.model.sh_degree)
-                        chunk = jnp.asarray(order[s:s + block])
-                        self.ts, logs = many_fn(
-                            self.ts, frames_stacked, chunk, deg, gt_feats
+                    for it in range(prev + 1, bound + 1):
+                        idx = int(order[it - 1])
+                        deg = active_sh_degree(it, cfg.model.sh_degree)
+                        self.ts, logs = self.step_fn(
+                            self.ts, self.train_frames[idx], deg,
+                            gt_feats_list[idx]
+                            if gt_feats_list is not None else None,
                         )
                     host_work(bound, logs)
                     prev = bound

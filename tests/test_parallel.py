@@ -85,3 +85,34 @@ class TestShardedStep:
         ga = np.asarray(ts1.gstate.xyz_grad_accum)
         gb = np.asarray(ts1u.gstate.xyz_grad_accum)
         np.testing.assert_allclose(ga, gb, rtol=1e-3, atol=1e-5)
+
+
+def test_sharded_gt_lpips_cache_parity(setup):
+    """Sharded step with the staged gt LPIPS towers == without (hoisted gt
+    tower is the same computation; see trainer._stage_gt_lpips_feats)."""
+    from moss_tpu.ops import lpips_jax
+    from moss_tpu.train.losses import crop_window
+
+    scene, frames, cfg, p, gstate = setup
+    mesh = make_mesh(2, 4)
+    init_s, step_s = make_sharded_train_step(scene, cfg, mesh, 48, 48)
+    ts0 = TrainState(p, init_s(p), gstate, jnp.asarray(0))
+    frames_b = stack_frames(frames[:2])
+
+    lp = lpips_jax.get_default_params()
+    feats = [
+        lpips_jax.gt_features(
+            lp, crop_window(f.image, f.crop_y0, f.crop_x0, 48, 48)
+        )
+        for f in frames[:2]
+    ]
+    feats_b = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *feats)
+
+    _, logs_plain = step_s(ts0, frames_b, 1)
+    _, logs_cached = step_s(ts0, frames_b, 1, feats_b)
+    np.testing.assert_allclose(
+        float(logs_cached["lpips"]), float(logs_plain["lpips"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(logs_cached["loss"]), float(logs_plain["loss"]), rtol=1e-5
+    )
