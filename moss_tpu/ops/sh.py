@@ -1,6 +1,6 @@
 """Real spherical-harmonics evaluation for Gaussian view-dependent color.
 
-Degree 0..3 evaluation with the standard real-SH constants, matching the
+Degree 0..4 evaluation with the standard real-SH constants, matching the
 semantics of the reference CUDA evaluator
 (/root/reference/submodules/diff-gaussian-rasterization/cuda_rasterizer/forward.cu:20-71)
 and the python helper (/root/reference/utils/sh_utils.py): colors are
@@ -31,6 +31,17 @@ SH_C3 = (
     1.445305721320277,
     -0.5900435899266435,
 )
+SH_C4 = (
+    2.5033429417967046,
+    -1.7701307697799304,
+    0.9461746957575601,
+    -0.6690465435572892,
+    0.10578554691520431,
+    -0.6690465435572892,
+    0.47308734787878004,
+    -1.7701307697799304,
+    0.6258357354491761,
+)
 
 
 def rgb_to_sh(rgb):
@@ -47,15 +58,15 @@ def eval_sh(deg: int, sh, dirs):
     """Evaluate real SH at unit directions.
 
     Args:
-      deg: static int in [0, 3]; only the first ``(deg+1)**2`` coefficients are used.
+      deg: static int in [0, 4]; only the first ``(deg+1)**2`` coefficients are used.
       sh: (..., K, C) coefficients with K >= (deg+1)**2 (channel-last layout).
       dirs: (..., 3) unit directions.
 
     Returns:
       (..., C) the SH-weighted sum (no +0.5 offset, no clamping).
     """
-    if not 0 <= deg <= 3:
-        raise ValueError(f"SH degree must be in [0,3], got {deg}")
+    if not 0 <= deg <= 4:
+        raise ValueError(f"SH degree must be in [0,4], got {deg}")
     result = SH_C0 * sh[..., 0, :]
     if deg > 0:
         x = dirs[..., 0:1]
@@ -89,6 +100,21 @@ def eval_sh(deg: int, sh, dirs):
                     + SH_C3[5] * z * (xx - yy) * sh[..., 14, :]
                     + SH_C3[6] * x * (xx - 3.0 * yy) * sh[..., 15, :]
                 )
+                if deg > 3:
+                    result = (
+                        result
+                        + SH_C4[0] * xy * (xx - yy) * sh[..., 16, :]
+                        + SH_C4[1] * yz * (3.0 * xx - yy) * sh[..., 17, :]
+                        + SH_C4[2] * xy * (7.0 * zz - 1.0) * sh[..., 18, :]
+                        + SH_C4[3] * yz * (7.0 * zz - 3.0) * sh[..., 19, :]
+                        + SH_C4[4] * (zz * (35.0 * zz - 30.0) + 3.0) * sh[..., 20, :]
+                        + SH_C4[5] * xz * (7.0 * zz - 3.0) * sh[..., 21, :]
+                        + SH_C4[6] * (xx - yy) * (7.0 * zz - 1.0) * sh[..., 22, :]
+                        + SH_C4[7] * xz * (xx - 3.0 * yy) * sh[..., 23, :]
+                        + SH_C4[8]
+                        * (xx * (xx - 3.0 * yy) - yy * (3.0 * xx - yy))
+                        * sh[..., 24, :]
+                    )
     return result
 
 

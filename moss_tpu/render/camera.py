@@ -95,3 +95,36 @@ class Camera:
     @property
     def focal_y(self):
         return self.height / (2.0 * self.tan_fovy)
+
+
+def camera_to_json(cam_id: int, cam: "Camera", img_name: str = "") -> dict:
+    """Serialize a camera in the SIBR-viewer cameras.json entry format
+    (reference utils/camera_utils.py:77-99): camera-to-world position and
+    rotation rows plus pixel focal lengths."""
+    w2v = np.asarray(cam.world_view, np.float64).T
+    c2w = np.linalg.inv(w2v)
+    return {
+        "id": int(cam_id),
+        "img_name": str(img_name),
+        "width": int(cam.width),
+        "height": int(cam.height),
+        "position": c2w[:3, 3].tolist(),
+        "rotation": [row.tolist() for row in c2w[:3, :3]],
+        "fy": float(cam.focal_y),
+        "fx": float(cam.focal_x),
+    }
+
+
+def dump_cameras_json(path: str, cameras, img_names=None) -> None:
+    """Write the cameras.json dump the reference Scene produces on a fresh
+    run (scene/__init__.py:62-71) for external viewers."""
+    import json
+    import os
+
+    names = img_names if img_names is not None else ["" for _ in cameras]
+    entries = [
+        camera_to_json(i, c, n) for i, (c, n) in enumerate(zip(cameras, names))
+    ]
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(entries, f)

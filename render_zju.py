@@ -59,6 +59,19 @@ def render_subject(args, subject: str, iteration: int):
         ),
     )
     trainer = Trainer(scene, test_frames[:1], test_frames, cfg)
+    if iteration < 0:
+        # searchForMaxIteration analog (reference utils/system_utils.py /
+        # Scene(load_iteration=-1)): resolve the newest checkpoint on disk
+        import glob
+        import re
+
+        cands = glob.glob(os.path.join(cfg.model_path, "chkpnt*.npz"))
+        if not cands:
+            raise FileNotFoundError(f"no checkpoints under {cfg.model_path}")
+        iteration = max(
+            int(re.findall(r"(\d+)", os.path.basename(p))[0]) for p in cands
+        )
+        print(f"[{subject}] loading latest iteration {iteration}")
     ckpt_path = os.path.join(cfg.model_path, f"chkpnt{iteration}.npz")
     trainer.load(ckpt_path)
 

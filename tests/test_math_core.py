@@ -62,6 +62,28 @@ class TestSH:
         expect = sh.SH_C0 * coeffs[0, 0] + sh.SH_C1 * coeffs[0, 2]
         np.testing.assert_allclose(out[0], expect, rtol=1e-6)
 
+    def test_golden_deg4_zonal_z(self):
+        # dir = +z: only zonal terms survive. Y_40(theta=0) =
+        # (3/16)sqrt(1/pi)*(35-30+3) = C4[4]*8; lower zonals: C0, C1 (sh2),
+        # C2[2]*2 (sh6), C3[3]*2 (sh12).
+        coeffs = np.zeros((1, 25, 1), np.float32)
+        coeffs[0, 20, 0] = 1.0
+        out = sh.eval_sh(4, jnp.asarray(coeffs), jnp.array([[0.0, 0.0, 1.0]]))
+        np.testing.assert_allclose(
+            float(out[0, 0]), 8.0 * sh.SH_C4[4], rtol=1e-6
+        )
+        # degree-4 eval on coeffs zeroed above index 16 == degree-3 eval
+        rng = np.random.default_rng(0)
+        c = rng.normal(size=(5, 25, 3)).astype(np.float32)
+        c[:, 16:] = 0.0
+        d = rng.normal(size=(5, 3))
+        d = (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+        np.testing.assert_allclose(
+            sh.eval_sh(4, jnp.asarray(c), jnp.asarray(d)),
+            sh.eval_sh(3, jnp.asarray(c[:, :16]), jnp.asarray(d)),
+            rtol=1e-5, atol=1e-6,
+        )
+
 
 class TestTransforms:
     def test_quat_identity(self):
@@ -165,3 +187,45 @@ class TestProjection:
         )
         assert not bool(proj.valid[0])  # z=0.1 <= 0.2 near plane
         assert bool(proj.valid[1])
+
+
+class TestCameraJSON:
+    def test_camera_to_json_roundtrip(self):
+        from moss_tpu.render.camera import camera_to_json, world_to_view
+
+        rng = np.random.default_rng(3)
+        # random proper rotation via QR
+        q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        R = q * np.sign(np.linalg.det(q))
+        T = rng.normal(size=3)
+        K = np.array([[120.0, 0, 32], [0, 130.0, 24], [0, 0, 1.0]])
+        cam = Camera.from_KRT(K, R, T, 48, 64)
+        entry = camera_to_json(7, cam, "frame_0007")
+
+        assert entry["id"] == 7 and entry["img_name"] == "frame_0007"
+        assert entry["width"] == 64 and entry["height"] == 48
+        np.testing.assert_allclose(entry["fx"], 120.0, rtol=1e-6)
+        np.testing.assert_allclose(entry["fy"], 130.0, rtol=1e-6)
+        # position must equal the camera center the renderer uses
+        np.testing.assert_allclose(
+            entry["position"], np.asarray(cam.cam_center), rtol=1e-4, atol=1e-5
+        )
+        # rotation/position invert back to the W2V the camera was built from
+        c2w = np.eye(4)
+        c2w[:3, :3] = np.asarray(entry["rotation"])
+        c2w[:3, 3] = entry["position"]
+        np.testing.assert_allclose(
+            np.linalg.inv(c2w), world_to_view(R, T), rtol=1e-5, atol=1e-6
+        )
+
+    def test_dump_cameras_json(self, tmp_path):
+        import json
+
+        from moss_tpu.render.camera import dump_cameras_json
+
+        cams = [make_camera(), make_camera(fx=90.0)]
+        path = str(tmp_path / "cameras.json")
+        dump_cameras_json(path, cams, img_names=["a", "b"])
+        data = json.load(open(path))
+        assert [e["img_name"] for e in data] == ["a", "b"]
+        assert [e["id"] for e in data] == [0, 1]

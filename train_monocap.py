@@ -61,8 +61,13 @@ def train_sequence(args, seq: str):
         model_path=os.path.join(args.output, seq),
     )
     from moss_tpu.config import save_json
+    from moss_tpu.render.camera import dump_cameras_json
 
     save_json(cfg, os.path.join(cfg.model_path, "cfg.json"))
+    dump_cameras_json(
+        os.path.join(cfg.model_path, "cameras.json"),
+        [f.camera for f in test_frames + train_frames],
+    )
     tb = TBWriter(cfg.model_path if args.tensorboard else None)
     ema = EMALogger()
     t0 = time.time()
