@@ -35,6 +35,12 @@ from .train_step import TrainState, active_sh_degree, make_train_step
 
 def init_gaussians_and_mlps(scene: SceneContext, cfg: Config, key, init_colors=None):
     verts = np.asarray(scene.big_pose_vertices)
+    if cfg.model.n_init_points < verts.shape[0]:
+        # small-scale configs: seed from an even subsample of the SMPL
+        # big-pose vertices (the deform chain only needs the cloud to be
+        # anchored near the body surface, gaussian_model.py:827)
+        sel = np.linspace(0, verts.shape[0] - 1, cfg.model.n_init_points)
+        verts = verts[np.round(sel).astype(np.int64)]
     if init_colors is None:
         # reference seeds with random colors (dataset_readers.py:717-729)
         rng = np.random.default_rng(cfg.seed)

@@ -51,13 +51,30 @@ def render_subject(args, subject: str, iteration: int):
     scene, test_specs = reader(path, "test", args.white_background, smpl_path=args.smpl)
     test_frames = [s.load() for s in test_specs]
 
-    cfg = Config(
-        model=ModelConfig(white_background=args.white_background),
-        pipe=PipelineConfig(rasterizer=args.rasterizer),
-        model_path=os.path.join(
-            args.output, f"my_{subject}" if args.reader == "zju" else subject
-        ),
+    model_path = os.path.join(
+        args.output, f"my_{subject}" if args.reader == "zju" else subject
     )
+    cfg_json = os.path.join(model_path, "cfg.json")
+    if os.path.exists(cfg_json):
+        # get_combined_args analog (reference arguments/__init__.py:88-108):
+        # the saved training config wins for model params (capacity etc. must
+        # match the checkpoint); CLI overrides the pipeline knobs
+        import dataclasses
+
+        from moss_tpu.config import load_json
+
+        cfg = load_json(cfg_json)
+        cfg = dataclasses.replace(
+            cfg,
+            pipe=dataclasses.replace(cfg.pipe, rasterizer=args.rasterizer),
+            model_path=model_path,
+        )
+    else:
+        cfg = Config(
+            model=ModelConfig(white_background=args.white_background),
+            pipe=PipelineConfig(rasterizer=args.rasterizer),
+            model_path=model_path,
+        )
     trainer = Trainer(scene, test_frames[:1], test_frames, cfg)
     if iteration < 0:
         # searchForMaxIteration analog (reference utils/system_utils.py /

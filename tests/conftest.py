@@ -31,6 +31,10 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: multi-minute end-to-end tests")
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(3407)  # reference's fixed seed (general_utils.py:141)

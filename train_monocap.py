@@ -29,6 +29,8 @@ def parse_args():
                         "(TPU analog of the reference's --detect_anomaly, "
                         "train_ZJU.py:305,328)")
     p.add_argument("--crop", type=int, default=512)
+    p.add_argument("--capacity", type=int, default=46080)
+    p.add_argument("--n_init", type=int, default=6890)
     return p.parse_args()
 
 
@@ -51,7 +53,8 @@ def train_sequence(args, seq: str):
     test_frames = [s.load(crop_hw) for s in test_specs]
 
     cfg = Config(
-        model=ModelConfig(white_background=args.white_background),
+        model=ModelConfig(white_background=args.white_background,
+                          capacity=args.capacity, n_init_points=args.n_init),
         optim=OptimConfig(iterations=args.iterations),
         pipe=PipelineConfig(
             rasterizer=args.rasterizer,

@@ -35,6 +35,11 @@ def parse_args():
                         "(TPU analog of the reference's --detect_anomaly, "
                         "train_ZJU.py:305,328)")
     p.add_argument("--crop", type=int, default=256, help="static SSIM/LPIPS crop size")
+    p.add_argument("--capacity", type=int, default=46080,
+                   help="static Gaussian capacity (the reference's 45,695 cap "
+                        "rounded to a lane multiple)")
+    p.add_argument("--n_init", type=int, default=6890,
+                   help="initial point count (SMPL vertex count)")
     return p.parse_args()
 
 
@@ -61,7 +66,8 @@ def train_subject(args, subject: str):
     test_frames = [s.load(crop_hw) for s in test_specs]
 
     cfg = Config(
-        model=ModelConfig(white_background=args.white_background),
+        model=ModelConfig(white_background=args.white_background,
+                          capacity=args.capacity, n_init_points=args.n_init),
         optim=OptimConfig(iterations=args.iterations),
         pipe=PipelineConfig(
             rasterizer=args.rasterizer,
