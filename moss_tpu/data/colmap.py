@@ -117,6 +117,70 @@ def write_points3d_binary(path, xyz, rgb_u8):
             f.write(struct.pack("<Q", 0))
 
 
+def _text_lines(path):
+    with open(path, "r") as f:
+        for line in f:
+            line = line.strip()
+            if line and line[0] != "#":
+                yield line.split()
+
+
+def read_cameras_text(path) -> Dict[int, ColmapCamera]:
+    """cameras.txt (read_intrinsics_text, colmap_loader.py:156-178).
+
+    Unlike the reference (which asserts PINHOLE-only), any model in
+    _CAM_MODELS is accepted — read_colmap_scene maps params to K uniformly.
+    """
+    cams = {}
+    for e in _text_lines(path):
+        cam_id, model, w, h = int(e[0]), e[1], int(e[2]), int(e[3])
+        cams[cam_id] = ColmapCamera(cam_id, model, w, h,
+                                    np.array([float(x) for x in e[4:]]))
+    return cams
+
+
+def read_images_text(path) -> Dict[int, ColmapImage]:
+    """images.txt (read_extrinsics_text, colmap_loader.py:244-270): two lines
+    per image — the pose line, then the 2D-point line (skipped)."""
+    images = {}
+    pose_line = True
+    for e in _text_lines(path):
+        if pose_line:
+            img_id = int(e[0])
+            qvec = np.array([float(x) for x in e[1:5]])
+            tvec = np.array([float(x) for x in e[5:8]])
+            images[img_id] = ColmapImage(img_id, qvec, tvec, int(e[8]), e[9])
+        pose_line = not pose_line
+    return images
+
+
+def read_points3d_text(path) -> Tuple[np.ndarray, np.ndarray]:
+    """points3D.txt (read_points3D_text, colmap_loader.py:83-124)."""
+    xyzs, rgbs = [], []
+    for e in _text_lines(path):
+        xyzs.append([float(x) for x in e[1:4]])
+        rgbs.append([float(x) for x in e[4:7]])
+    if not xyzs:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32)
+    return np.array(xyzs, np.float32), np.array(rgbs, np.float32) / 255.0
+
+
+def nerfpp_norm(specs) -> Dict[str, np.ndarray]:
+    """Scene extent from camera centers (getNerfppNorm,
+    dataset_readers.py:54-75): radius = 1.1 * max distance of any camera
+    center from their mean; translate = -mean. Takes the spec dicts produced
+    by read_colmap_scene / read_blender_scene."""
+    centers = []
+    for s in specs:
+        R = np.asarray(s["R_w2c"], np.float64)
+        T = np.asarray(s["T_w2c"], np.float64).reshape(3)
+        centers.append(-R.T @ T)  # C2W translation
+    centers = np.stack(centers, 0)
+    center = centers.mean(0)
+    radius = 1.1 * float(np.linalg.norm(centers - center, axis=1).max())
+    return {"translate": -center, "radius": radius}
+
+
 def qvec2rotmat(q):
     w, x, y, z = q
     return np.array([
@@ -130,14 +194,20 @@ def read_colmap_scene(path: str, images_dir: str = "images"):
     """Returns (frame_specs, points, colors): specs are dicts with K/R/T/paths.
 
     Mirrors readColmapSceneInfo (dataset_readers.py:140-186): sparse/0 binary
-    model, world-to-camera R stored transposed, intrinsics -> K.
+    model with text fallback (:146-157,166-176), world-to-camera R stored
+    transposed, intrinsics -> K. Scene extent: nerfpp_norm(specs).
     """
     sparse = os.path.join(path, "sparse", "0")
-    cams = read_cameras_binary(os.path.join(sparse, "cameras.bin"))
-    images = read_images_binary(os.path.join(sparse, "images.bin"))
-    pts_path = os.path.join(sparse, "points3D.bin")
-    if os.path.exists(pts_path):
-        xyz, rgb = read_points3d_binary(pts_path)
+    if os.path.exists(os.path.join(sparse, "cameras.bin")):
+        cams = read_cameras_binary(os.path.join(sparse, "cameras.bin"))
+        images = read_images_binary(os.path.join(sparse, "images.bin"))
+    else:
+        cams = read_cameras_text(os.path.join(sparse, "cameras.txt"))
+        images = read_images_text(os.path.join(sparse, "images.txt"))
+    if os.path.exists(os.path.join(sparse, "points3D.bin")):
+        xyz, rgb = read_points3d_binary(os.path.join(sparse, "points3D.bin"))
+    elif os.path.exists(os.path.join(sparse, "points3D.txt")):
+        xyz, rgb = read_points3d_text(os.path.join(sparse, "points3D.txt"))
     else:
         xyz = np.zeros((0, 3), np.float32)
         rgb = np.zeros((0, 3), np.float32)
