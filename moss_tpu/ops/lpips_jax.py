@@ -18,6 +18,7 @@ Pretrained VGG16 + lin weights cannot be downloaded in this environment
 """
 from __future__ import annotations
 
+import functools
 import os
 from typing import Dict, List
 
@@ -100,30 +101,64 @@ def convert_torch_weights(out_path: str):  # pragma: no cover - needs torchvisio
     return out_path
 
 
+def _im2col_conv(w, b, x, dtype):
+    """3x3 SAME conv as explicit 9-tap im2col + one (N*H*W, 9*Cin)@(9*Cin, Cout)
+    matmul. Measured faster than XLA's conv lowering in the FORWARD direction
+    (2.59 vs 3.16 ms for the full 512^2 tower, tools/lpips_ab.py) and ~5x
+    faster at tiny input depth (conv1_1 Cin=3), but its autodiff VJP —
+    pad/slice transposes over the 9x-widened patch tensor — is SLOWER than the
+    conv adjoint (8.70 vs 8.00 ms f+b). _conv therefore pairs this forward
+    with a hand-written transposed-conv backward (below)."""
+    cin = w.shape[2]
+    n, h, w_, _ = x.shape
+    xp = jnp.pad(x.astype(dtype), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    pat = jnp.concatenate(
+        [xp[:, dy:dy + h, dx:dx + w_, :] for dy in range(3) for dx in range(3)],
+        axis=-1,
+    )  # (N, H, W, 9*Cin), tap-major to match HWIO.reshape below
+    wm = jnp.asarray(w, dtype).reshape(9 * cin, -1)
+    return pat @ wm + jnp.asarray(b, dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _conv_p(w, b, x, dtype_name: str):
+    dtype = jnp.dtype(dtype_name)
+    return _im2col_conv(w, b, x, dtype)
+
+
+def _conv_p_fwd(w, b, x, dtype_name: str):
+    dtype = jnp.dtype(dtype_name)
+    # residuals must be jax types — carry x's dtype in a zero-size array
+    return _im2col_conv(w, b, x, dtype), (w, b, jnp.zeros((0,), x.dtype))
+
+
+def _conv_p_bwd(dtype_name, res, g):
+    # Input-gradient via the conv adjoint: a stride-1 SAME 3x3 conv's
+    # transpose is another SAME 3x3 conv with the kernel rotated 180° and
+    # I/O swapped. XLA's conv lowering wins in this direction (the im2col
+    # autodiff VJP pays pad/slice transposes over the 9x patch tensor).
+    # The LPIPS backbone is frozen (the reference trains through lpips as a
+    # fixed metric, train_ZJU.py:121) — weight/bias cotangents are symbolic
+    # zeros that XLA dead-code-eliminates.
+    w, b, x_proto = res
+    x_dtype = x_proto.dtype
+    dtype = jnp.dtype(dtype_name)
+    wj = jnp.asarray(w, dtype)
+    w_flip = wj[::-1, ::-1].transpose(0, 1, 3, 2)  # (3,3,O,I)
+    dx = jax.lax.conv_general_dilated(
+        g.astype(dtype), w_flip, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ).astype(x_dtype)
+    return (jnp.zeros_like(w), jnp.zeros_like(b), dx)
+
+
+_conv_p.defvjp(_conv_p_fwd, _conv_p_bwd)
+
+
 def _conv(p, x, dtype):
-    # output dtype == input dtype so the conv VJP sees matching dtypes; the
-    # TPU conv still accumulates in f32 internally for bf16 operands
-    cin = p["w"].shape[2]
-    if cin <= 4:
-        # XLA's TPU conv is pathological at tiny input depth (conv1_1 with
-        # Cin=3: 0.57 ms of a 1.7 ms tower, ~1.6 TFLOP/s) — explicit im2col
-        # + one (HW, 9*Cin) @ (9*Cin, Cout) matmul is ~5x faster and its VJP
-        # is pad/slice transposes (scatter-free).
-        n, h, w_, _ = x.shape
-        xp = jnp.pad(x.astype(dtype), ((0, 0), (1, 1), (1, 1), (0, 0)))
-        pat = jnp.concatenate(
-            [xp[:, dy:dy + h, dx:dx + w_, :] for dy in range(3) for dx in range(3)],
-            axis=-1,
-        )  # (N, H, W, 9*Cin), tap-major to match HWIO.reshape below
-        wm = jnp.asarray(p["w"], dtype).reshape(9 * cin, -1)
-        return pat @ wm + jnp.asarray(p["b"], dtype)
-    return (
-        jax.lax.conv_general_dilated(
-            x.astype(dtype), jnp.asarray(p["w"], dtype), (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
-        + jnp.asarray(p["b"], dtype)
-    )
+    # output dtype == input dtype so downstream VJPs see matching dtypes; the
+    # TPU matmul/conv still accumulates in f32 for bf16 operands
+    return _conv_p(p["w"], p["b"], x, jnp.dtype(dtype).name)
 
 
 def _features(params, x, dtype) -> List[jnp.ndarray]:
