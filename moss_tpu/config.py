@@ -51,7 +51,11 @@ class OptimConfig:
     kl_threshold: float = 0.4
     kl_merge_threshold: float = 0.1
     max_screen_size: int = 20
-    smpl_dist_threshold: float = 0.05   # prune-by-SMPL-distance (squared dist)
+    # prune-by-SMPL-distance threshold in meters (EUCLIDEAN): the reference's
+    # KNN_CUDA returns sqrt'ed distances (Garcia kNN-CUDA convention), so
+    # `distance > 0.05` at gaussian_model.py:657-661 is a 5 cm shell.
+    # train/densify.py compares sqrt(d2) against this.
+    smpl_dist_threshold: float = 0.05
 
     # loss weights (train_ZJU.py:131)
     w_l1: float = 1.0

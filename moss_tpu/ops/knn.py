@@ -29,11 +29,17 @@ import jax.numpy as jnp
 def knn(queries, refs, k: int = 1, chunk: int = 4096, ref_valid=None):
     """Return (dists2, idx) of the k nearest refs for each query.
 
-    queries: (N, 3), refs: (M, 3). dists2 are *squared* euclidean distances
-    (same convention as KNN_CUDA's transpose_mode distances used by the
-    reference for thresholding at 0.05 — reference prunes on squared distance
-    semantics; see gaussian_model.py:657-661 where `distance > 0.05` operates
-    on the raw KNN output).
+    queries: (N, 3), refs: (M, 3). dists2 are *squared* euclidean distances.
+
+    NOTE on the KNN_CUDA convention (it matters for the SMPL-distance prune):
+    the reference thresholds KNN_CUDA's raw output at 0.05
+    (gaussian_model.py:657-661). The unlimblue/KNN_CUDA wheel wraps Garcia et
+    al.'s kNN-CUDA, whose final kernel applies sqrt to the k selected
+    distances before returning — its raw output is EUCLIDEAN, so the
+    reference prunes a 5 cm shell around the big-pose body. This function
+    returns SQUARED distances (cheaper — no sqrt pass); callers that
+    reproduce the reference threshold must compare sqrt(d2) against 0.05
+    (train/densify.py does, with a unit test pinning the shell radius).
     ref_valid: optional (M,) bool — invalid refs are pushed to +inf distance
     (used for the capacity-padded Gaussian cloud).
     """

@@ -281,7 +281,6 @@ def densify_and_prune(
     params, valid, dest, ok_m, _ = _append_rows(params, valid, None, cand, merge_mask)
     opt_state = _zero_opt_rows(opt_state, dest, P)
     # both sources die (the ones whose merge actually landed)
-    prune_merge = jnp.zeros((P,), bool).at[jnp.where(ok_m, nb, P - 1)].set(ok_m[jnp.where(ok_m, nb, P - 1)] | False)
     prune_merge = jnp.zeros((P + 1,), bool).at[jnp.where(ok_m, nb, P)].set(True)[:P]
     prune_merge = prune_merge | ok_m
     stats["merged"] = jnp.sum(ok_m)
@@ -293,6 +292,10 @@ def densify_and_prune(
     if use_size_threshold:
         prune = prune | (gstate.max_radii2d > cfg.max_screen_size)
         prune = prune | (jnp.max(scaling_now, axis=-1) > 0.1 * extent)
+    # euclidean 5 cm shell: KNN_CUDA returns sqrt'ed (euclidean) distances
+    # (Garcia kNN-CUDA convention), so the reference's `distance > 0.05`
+    # (gaussian_model.py:657-661) is a 0.05 m threshold; ops/knn returns
+    # squared distances, hence the sqrt here.
     d2, _ = knn(params.xyz, t_vertices, k=1)
     prune = prune | (jnp.sqrt(d2[:, 0]) > cfg.smpl_dist_threshold)
     prune = prune | prune_split | prune_merge

@@ -110,6 +110,43 @@ class TestNormals:
         assert float(mask_flat.mean()) < 0.2
 
 
+class TestSMPLPruneShell:
+    def test_euclidean_5cm_shell(self, rng):
+        """Pin the SMPL-distance prune convention: the reference thresholds
+        KNN_CUDA's raw (euclidean, sqrt'ed — Garcia kNN-CUDA convention)
+        distance at 0.05 (gaussian_model.py:657-661), i.e. a 5 cm shell.
+        Points 4 cm from the surface must survive; 6 cm must be pruned."""
+        import dataclasses
+
+        import optax
+
+        P = 64
+        # t-pose "surface": a line of vertices along x at y=z=0
+        t_verts = np.stack(
+            [np.linspace(-1, 1, 50), np.zeros(50), np.zeros(50)], axis=1
+        ).astype(np.float32)
+        # gaussians at controlled euclidean offsets from the surface
+        offsets = np.array([0.00, 0.02, 0.04, 0.049, 0.051, 0.06, 0.10, 0.22])
+        pts = np.zeros((len(offsets), 3), np.float32)
+        # sit each point exactly above a vertex so the z offset IS the distance
+        vidx = np.linspace(5, 44, len(offsets)).round().astype(int)
+        pts[:, 0] = t_verts[vidx, 0]
+        pts[:, 2] = offsets
+        colors = rng.uniform(size=(len(offsets), 3)).astype(np.float32)
+        params, gstate = create_from_points(pts, colors, capacity=P)
+        opt = optax.adam(1e-3)
+        cfg = OptimConfig(densify_grad_threshold=1e9)  # no clone/split/merge
+        out_params, out_state, _, _ = densify_and_prune(
+            params, gstate, opt.init(params), jax.random.PRNGKey(0), cfg,
+            extent=1.0, t_vertices=jnp.asarray(t_verts), use_size_threshold=False,
+        )
+        survived = np.asarray(out_state.valid[: len(offsets)])
+        np.testing.assert_array_equal(survived, offsets <= 0.05)
+        # the squared-distance misreading (threshold on d2) would instead
+        # retain everything out to 0.22 m — assert that reading is dead
+        assert not survived[offsets > 0.05].any()
+
+
 class TestDensifyIntegration:
     def test_runs_and_respects_capacity(self, rng):
         P = 256
