@@ -15,6 +15,19 @@ Pretrained VGG16 + lin weights cannot be downloaded in this environment
     uniform lin heads. Random VGG features are a known usable perceptual
     metric family, but the absolute values will NOT match the pretrained
     LPIPS — metric-parity evaluation requires supplying real weights.
+    backbone_info() reports which one the default params are, so eval
+    output can mark non-comparable LPIPS values.
+
+The math itself is parity-tested weight-for-weight against a torch replica
+(tests/test_lpips_parity.py) — dropping in a converted pretrained .npz is the
+only remaining step for metric parity with the pip `lpips` package; zero code
+change needed.
+
+AD surface: reverse-mode only. _conv carries a custom_vjp (hand-written
+transposed-conv backward — measured faster than the im2col autodiff VJP), so
+jax.jvp/jacfwd through lpips() raises; the backbone is FROZEN — lpips()
+rejects traced (differentiated) backbone params outright rather than silently
+returning zero weight gradients.
 """
 from __future__ import annotations
 
@@ -214,6 +227,7 @@ def lpips(params: Dict, img1, img2=None, dtype=jnp.float32, cached_f2=None):
     cached_f2: optional precomputed gt tower (gt_features) replacing img2 —
     saves one full VGG forward per step when the target is static.
     """
+    _assert_frozen_backbone(params)
     x1 = _norm_input(img1)[None]
     f1 = _features(params, x1, dtype)
     if cached_f2 is not None:
@@ -238,17 +252,59 @@ def lpips(params: Dict, img1, img2=None, dtype=jnp.float32, cached_f2=None):
     return total
 
 
+def _assert_frozen_backbone(params: Dict) -> None:
+    """The LPIPS backbone is frozen (the reference trains through lpips as a
+    fixed metric, train_ZJU.py:121): _conv's custom VJP returns hard-zero
+    weight/bias cotangents, so differentiating wrt the backbone params would
+    silently yield zeros. Reject traced params loudly instead (advisor
+    finding, ADVICE.md r1)."""
+    import jax.core
+
+    for leaf in jax.tree.leaves(params):
+        if isinstance(leaf, jax.core.Tracer):
+            raise TypeError(
+                "lpips() backbone params are frozen: _conv's custom VJP "
+                "returns zero weight/bias cotangents, so jax.grad/vmap-traced "
+                "backbone params would silently get zero gradients. Pass the "
+                "params as concrete (numpy) constants; to finetune the "
+                "backbone, replace _conv's VJP with real w/b cotangents first."
+            )
+
+
 _DEFAULT_PARAMS = None
+_DEFAULT_BACKBONE = ("unset", None)
 
 
 def get_default_params() -> Dict:
     """Pretrained weights if MOSS_LPIPS_WEIGHTS points at a .npz, else the
     deterministic random backbone (documented fallback)."""
-    global _DEFAULT_PARAMS
+    global _DEFAULT_PARAMS, _DEFAULT_BACKBONE
     if _DEFAULT_PARAMS is None:
         path = os.environ.get("MOSS_LPIPS_WEIGHTS", "")
         if path and os.path.exists(path):
             _DEFAULT_PARAMS = load_params(path)
+            _DEFAULT_BACKBONE = ("pretrained", path)
         else:
             _DEFAULT_PARAMS = init_random(3407)
+            _DEFAULT_BACKBONE = ("random", None)
     return _DEFAULT_PARAMS
+
+
+def backbone_info():
+    """('pretrained', path) or ('random', None) for the default params.
+
+    LPIPS values from the random backbone are well-defined but NOT comparable
+    to the reference's pretrained-VGG numbers (BASELINE.md) — eval outputs
+    mark them (train/observability.append_result_line note)."""
+    get_default_params()
+    return _DEFAULT_BACKBONE
+
+
+def result_note():
+    """Marker string for result files/eval output, or None when the default
+    backbone is pretrained (values then comparable to the reference)."""
+    kind, _ = backbone_info()
+    if kind == "pretrained":
+        return None
+    return ("LPIPS from random fallback backbone — not comparable to "
+            "reference (set MOSS_LPIPS_WEIGHTS)")

@@ -72,11 +72,17 @@ class TBWriter:
             self.writer.close()
 
 
-def append_result_line(path: str, iteration: int, psnr: float, ssim: float, lpips: float):
-    """Reference result-file format: 'iter psnr ssim lpips*1000' (train_ZJU.py:270)."""
+def append_result_line(path: str, iteration: int, psnr: float, ssim: float,
+                       lpips: float, note: Optional[str] = None):
+    """Reference result-file format: 'iter psnr ssim lpips*1000'
+    (train_ZJU.py:270). `note` (e.g. ops/lpips_jax.result_note()) appends a
+    trailing comment marking values that are not reference-comparable —
+    notably LPIPS from the random fallback backbone; lines stay
+    byte-compatible when no note applies."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    suffix = f"  # {note}" if note else ""
     with open(path, "a") as f:
-        f.write(f"{iteration} {psnr} {ssim} {lpips * 1000}\n")
+        f.write(f"{iteration} {psnr} {ssim} {lpips * 1000}{suffix}\n")
 
 
 @contextlib.contextmanager

@@ -389,7 +389,10 @@ class Trainer:
             for k in vals:
                 vals[k] += float(out[k])
         n = max(len(frames), 1)
-        return {k: v / n for k, v in vals.items()}
+        out = {k: v / n for k, v in vals.items()}
+        # provenance: random-backbone LPIPS is not reference-comparable
+        out["lpips_backbone"] = lpips_jax.backbone_info()[0]
+        return out
 
     # ------------------------------------------------------------------
     def save(self, path: str):

@@ -149,6 +149,7 @@ def render_subject(args, subject: str, iteration: int):
     result = {
         "subject": subject, "iteration": iteration, "fps": fps,
         "psnr": psnr_v / n, "ssim": ssim_v / n, "lpips_x1000": lpips_v / n * 1000,
+        "lpips_backbone": lpips_jax.backbone_info()[0],
     }
     print(json.dumps(result))
     return result

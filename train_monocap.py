@@ -28,7 +28,9 @@ def parse_args():
                    help="abort on the first NaN in any jitted computation "
                         "(TPU analog of the reference's --detect_anomaly, "
                         "train_ZJU.py:305,328)")
-    p.add_argument("--crop", type=int, default=512)
+    p.add_argument("--crop", type=int, default=0,
+                   help="static SSIM/LPIPS crop size; 0 = autosize to the "
+                        "split's max bound rect (bucketed, never clips)")
     p.add_argument("--capacity", type=int, default=46080)
     p.add_argument("--n_init", type=int, default=6890)
     return p.parse_args()
@@ -48,7 +50,13 @@ def train_sequence(args, seq: str):
     _, test_specs = read_monocap(
         path, "test", args.white_background, smpl_path=args.smpl
     )
-    crop_hw = (args.crop, args.crop)
+    if args.crop > 0:
+        crop_hw = (args.crop, args.crop)
+    else:
+        from moss_tpu.data.readers import autosize_crop
+
+        crop_hw = autosize_crop(train_specs)
+        print(f"[{seq}] autosized loss crop: {crop_hw}")
     train_frames = [s.load(crop_hw) for s in train_specs]
     test_frames = [s.load(crop_hw) for s in test_specs]
 
@@ -85,7 +93,10 @@ def train_sequence(args, seq: str):
     trainer = Trainer(scene, train_frames, test_frames, cfg, crop_hw=crop_hw, log_fn=log)
     metrics = trainer.train(eval_iters=args.test_iterations)
     for m in metrics:
-        append_result_line(args.result_file, m["iteration"], m["psnr"], m["ssim"], m["lpips"])
+        from moss_tpu.ops.lpips_jax import result_note
+
+        append_result_line(args.result_file, m["iteration"], m["psnr"],
+                           m["ssim"], m["lpips"], note=result_note())
         print(f"[{seq}] iter {m['iteration']}: PSNR {m['psnr']:.3f} "
               f"SSIM {m['ssim']:.5f} LPIPSx1e3 {m['lpips'] * 1000:.3f}")
         trainer.save(os.path.join(cfg.model_path, f"chkpnt{m['iteration']}.npz"))

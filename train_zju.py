@@ -34,7 +34,9 @@ def parse_args():
                    help="abort on the first NaN in any jitted computation "
                         "(TPU analog of the reference's --detect_anomaly, "
                         "train_ZJU.py:305,328)")
-    p.add_argument("--crop", type=int, default=256, help="static SSIM/LPIPS crop size")
+    p.add_argument("--crop", type=int, default=0,
+                   help="static SSIM/LPIPS crop size; 0 = autosize to the "
+                        "split's max bound rect (bucketed, never clips)")
     p.add_argument("--capacity", type=int, default=46080,
                    help="static Gaussian capacity (the reference's 45,695 cap "
                         "rounded to a lane multiple)")
@@ -61,7 +63,13 @@ def train_subject(args, subject: str):
     _, test_specs = read_zju_mocap_refine(
         path, "test", args.white_background, smpl_path=args.smpl
     )
-    crop_hw = (args.crop, args.crop)
+    if args.crop > 0:
+        crop_hw = (args.crop, args.crop)
+    else:
+        from moss_tpu.data.readers import autosize_crop
+
+        crop_hw = autosize_crop(train_specs)
+        print(f"[{subject}] autosized loss crop: {crop_hw}")
     train_frames = [s.load(crop_hw) for s in train_specs]
     test_frames = [s.load(crop_hw) for s in test_specs]
 
@@ -98,8 +106,11 @@ def train_subject(args, subject: str):
 
     trainer = Trainer(scene, train_frames, test_frames, cfg, crop_hw=crop_hw, log_fn=log)
     metrics = trainer.train(eval_iters=args.test_iterations)
+    from moss_tpu.ops.lpips_jax import result_note
+
     for m in metrics:
-        append_result_line(args.result_file, m["iteration"], m["psnr"], m["ssim"], m["lpips"])
+        append_result_line(args.result_file, m["iteration"], m["psnr"],
+                           m["ssim"], m["lpips"], note=result_note())
         print(f"[{subject}] iter {m['iteration']}: PSNR {m['psnr']:.3f} "
               f"SSIM {m['ssim']:.5f} LPIPSx1e3 {m['lpips'] * 1000:.3f}")
         trainer.save(os.path.join(cfg.model_path, f"chkpnt{m['iteration']}.npz"))
