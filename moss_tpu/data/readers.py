@@ -102,6 +102,32 @@ class FrameSpec:
     mask_style: str = "binary"   # 'binary' (ZJU) | 'soft' (MonoCap)
     mask_multiply: bool = False  # MonoCap olek/vlad multiply instead of fill
 
+    def image_size(self) -> Tuple[int, int]:
+        """Post-scaling (H, W) without decoding pixels (PIL lazy header read)."""
+        from PIL import Image
+
+        with Image.open(self.image_path) as im:
+            w, h = im.size
+        if self.image_scaling != 1.0:
+            h, w = int(h * self.image_scaling), int(w * self.image_scaling)
+        return h, w
+
+    def bound_rect_hw(self, H: int, W: int) -> Tuple[int, int]:
+        """(height, width) of this frame's bound-mask bounding rect, without
+        decoding the image: the fillPoly mask's extremes are the projected
+        cube corners (dataset_readers.py:1034-1045 draws the convex faces),
+        so the rect is their rounded bbox clipped to the image."""
+        K = self.K.copy().astype(np.float64)
+        K[:2] = K[:2] * self.image_scaling
+        w2c34 = np.concatenate([self.R_w2c, self.T_w2c], axis=1)
+        corners = project_points_np(get_bound_corners(self.world_bound), K, w2c34)
+        corners = np.round(corners).astype(np.int64)
+        y0 = int(np.clip(corners[:, 1].min(), 0, H - 1))
+        y1 = int(np.clip(corners[:, 1].max(), 0, H - 1))
+        x0 = int(np.clip(corners[:, 0].min(), 0, W - 1))
+        x1 = int(np.clip(corners[:, 0].max(), 0, W - 1))
+        return y1 - y0 + 1, x1 - x0 + 1
+
     def load(self, crop_hw: Optional[Tuple[int, int]] = None) -> Frame:
         import jax.numpy as jnp
 
@@ -143,6 +169,20 @@ class FrameSpec:
             crop_hw = (H, W)
         ch, cw = crop_hw
         if len(ys):
+            rect_h = int(ys.max() - ys.min() + 1)
+            rect_w = int(xs.max() - xs.min() + 1)
+            if rect_h > ch or rect_w > cw:
+                # the reference's perceptual losses see the EXACT bound rect
+                # (train_ZJU.py:115-117); a clipped static window silently
+                # cuts the subject — surface it (size with autosize_crop)
+                import warnings
+
+                warnings.warn(
+                    f"bound rect {rect_h}x{rect_w} exceeds static crop "
+                    f"{ch}x{cw} for {self.image_path}: SSIM/LPIPS/S3IM will "
+                    f"see a clipped subject. Use autosize_crop() or a larger "
+                    f"--crop.", stacklevel=2,
+                )
             yc = int(np.clip((ys.min() + ys.max()) // 2 - ch // 2, 0, max(H - ch, 0)))
             xc = int(np.clip((xs.min() + xs.max()) // 2 - cw // 2, 0, max(W - cw, 0)))
         else:
@@ -165,6 +205,34 @@ class FrameSpec:
             crop_x0=jnp.asarray(xc, jnp.int32),
             pose_id=jnp.asarray(self.pose_id, jnp.int32),
         )
+
+
+def autosize_crop(
+    specs: List["FrameSpec"],
+    image_hw: Optional[Tuple[int, int]] = None,
+    bucket: int = 64,
+    min_crop: int = 128,
+) -> Tuple[int, int]:
+    """Smallest bucketed static crop covering every frame's bound rect.
+
+    The reference crops SSIM/LPIPS/S3IM to the exact per-frame
+    cv2.boundingRect (train_ZJU.py:115-117); XLA needs a static window, so we
+    take the split's max rect (computed analytically from the projected bound
+    corners — no image decode) and round each dim up to the next `bucket`
+    multiple (recompile only on bucket change, like the slot budget), clamped
+    to the image. load() then centers the window per frame and warns if a
+    rect ever exceeds it (it cannot, for specs covered here).
+    """
+    if not specs:
+        return (min_crop, min_crop)
+    H, W = image_hw if image_hw is not None else specs[0].image_size()
+    mh = mw = 1
+    for s in specs:
+        rh, rw = s.bound_rect_hw(H, W)
+        mh, mw = max(mh, rh), max(mw, rw)
+    ch = min(H, -(-max(mh, min_crop) // bucket) * bucket)
+    cw = min(W, -(-max(mw, min_crop) // bucket) * bucket)
+    return ch, cw
 
 
 def _big_pose_scene(smpl_model: S.SMPLModel) -> SceneContext:
