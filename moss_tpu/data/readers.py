@@ -112,6 +112,14 @@ class FrameSpec:
             h, w = int(h * self.image_scaling), int(w * self.image_scaling)
         return h, w
 
+    def make_camera(self, image_hw: Optional[Tuple[int, int]] = None) -> Camera:
+        """The frame's Camera without decoding pixels (same K scaling and
+        R-transpose as load(); undistortion leaves K unchanged)."""
+        H, W = image_hw if image_hw is not None else self.image_size()
+        K = self.K.copy().astype(np.float64)
+        K[:2] = K[:2] * self.image_scaling
+        return Camera.from_KRT(K, self.R_w2c.T, self.T_w2c[:, 0], H, W)
+
     def bound_rect_hw(self, H: int, W: int) -> Tuple[int, int]:
         """(height, width) of this frame's bound-mask bounding rect, without
         decoding the image: the fillPoly mask's extremes are the projected

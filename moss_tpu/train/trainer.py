@@ -66,7 +66,15 @@ class Trainer:
         crop_hw=None,
         extent: float = 1.0,  # monocular radius forced to 1 (dataset_readers.py:714)
         log_fn: Optional[Callable[[int, Dict], None]] = None,
+        tb=None,
     ):
+        """train_frames must be loaded Frames (revisited ~30x each — kept
+        device-resident); test_frames may be lazy FrameSpecs, streamed
+        through data/prefetch.iter_frames at eval so peak device memory is
+        independent of the test-split size (SURVEY §3.5 — the reference
+        keeps all ~374 test frames on the GPU for the whole run).
+        tb: optional observability.TBWriter for eval-time image/histogram
+        dumps (training_report parity, train_ZJU.py:249-263)."""
         from .. import enable_compilation_cache
 
         enable_compilation_cache()
@@ -76,6 +84,8 @@ class Trainer:
         self.test_frames = test_frames
         self.extent = extent
         self.log_fn = log_fn
+        self.tb = tb
+        self._tb_gt_logged = False
         # Pair-buffer autosizing (the TPU analog of the reference's per-frame
         # arena resizing, rasterize_points.cu:27-33): only when we own the
         # default Pallas rasterizer — a caller-supplied rasterize_fn manages
@@ -100,7 +110,8 @@ class Trainer:
         if mlps is not None:
             p["mlps"] = mlps
         init_fn, self.step_fn = make_train_step(
-            scene, cfg, self.rasterize_fn, self.lpips_params, *crop_hw
+            scene, cfg, self.rasterize_fn, self.lpips_params, *crop_hw,
+            spatial_lr_scale=extent,
         )
         self.ts = TrainState(p, init_fn(p), gstate, jnp.asarray(0, jnp.int32))
         self.metrics_history: List[Dict] = []
@@ -187,7 +198,7 @@ class Trainer:
         self.rasterize_fn = functools.partial(rasterize_tpu, slot_budget=budget)
         _, self.step_fn = make_train_step(
             self.scene, self.cfg, self.rasterize_fn, self.lpips_params,
-            *self.crop_hw
+            *self.crop_hw, spatial_lr_scale=self.extent,
         )
         self._eval_fn = self._build_eval_fn()
         self._step_version += 1
@@ -312,7 +323,7 @@ class Trainer:
             if self.log_fn is not None and logs is not None:
                 self.log_fn(it, jax.device_get(logs))
             if it in eval_iters:
-                m = self.evaluate()
+                m = self.evaluate(tb_step=it)
                 m["iteration"] = it
                 m["elapsed_s"] = time.time() - t0
                 self.metrics_history.append(m)
@@ -377,19 +388,49 @@ class Trainer:
             motion_offset=self.cfg.model.motion_offset,
         )
 
-    def evaluate(self, frames=None) -> Dict:
+    def evaluate(self, frames=None, tb_step: Optional[int] = None) -> Dict:
+        """Streamed eval: frames (Frames or lazy FrameSpecs) are decoded on a
+        prefetch thread and metrics fetched with a 2-deep pipeline, so neither
+        the frames nor the rendered images of a large test split are ever
+        resident at once. tb_step: when set (and a TBWriter was given), dump
+        the first-5 test renders (+gt once), opacity histogram and point count
+        — training_report parity (train_ZJU.py:249-263)."""
+        from ..data.prefetch import iter_frames
+
         frames = frames if frames is not None else self.test_frames
         deg = active_sh_degree(int(self.ts.step), self.cfg.model.sh_degree)
         vals = {"psnr": 0.0, "ssim": 0.0, "lpips": 0.0}
-        outs = [
-            self._eval_fn(self.ts.params, self.ts.gstate.valid, frame, deg)
-            for frame in frames
-        ]
-        for out in outs:
+        pending: List[Dict] = []  # in-flight scalar results (device)
+        n = 0
+        log_tb = tb_step is not None and self.tb is not None
+        for i, frame in enumerate(iter_frames(frames, self.crop_hw)):
+            out = self._eval_fn(self.ts.params, self.ts.gstate.valid, frame, deg)
+            if log_tb and i < 5:
+                self.tb.image(f"test/view_{i}/render",
+                              np.clip(np.asarray(out["render"]), 0, 1), tb_step)
+                if not self._tb_gt_logged:
+                    # gt only once, like the reference's first test iteration
+                    self.tb.image(f"test/view_{i}/ground_truth",
+                                  np.asarray(frame.image), tb_step)
+            # keep only the scalar leaves in flight — dropping the dict frees
+            # the rendered image on device
+            pending.append({k: out[k] for k in vals})
+            if len(pending) > 2:
+                done = pending.pop(0)
+                for k in vals:
+                    vals[k] += float(done[k])
+            n += 1
+        for done in pending:
             for k in vals:
-                vals[k] += float(out[k])
-        n = max(len(frames), 1)
-        out = {k: v / n for k, v in vals.items()}
+                vals[k] += float(done[k])
+        if log_tb:
+            g = self.ts.params["gauss"]
+            valid = np.asarray(self.ts.gstate.valid)
+            opacity = 1.0 / (1.0 + np.exp(-np.asarray(g.opacity)[:, 0]))
+            self.tb.histogram("scene/opacity_histogram", opacity[valid], tb_step)
+            self.tb.scalar("scene/total_points", int(valid.sum()), tb_step)
+            self._tb_gt_logged = True
+        out = {k: v / max(n, 1) for k, v in vals.items()}
         # provenance: random-backbone LPIPS is not reference-comparable
         out["lpips_backbone"] = lpips_jax.backbone_info()[0]
         return out

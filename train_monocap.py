@@ -58,7 +58,10 @@ def train_sequence(args, seq: str):
         crop_hw = autosize_crop(train_specs)
         print(f"[{seq}] autosized loss crop: {crop_hw}")
     train_frames = [s.load(crop_hw) for s in train_specs]
-    test_frames = [s.load(crop_hw) for s in test_specs]
+    # test split stays LAZY: streamed per-eval by the trainer's prefetching
+    # iterator, so peak device memory is independent of its ~374 frames
+    test_hw = test_specs[0].image_size() if test_specs else None
+    test_cameras = [s.make_camera(test_hw) for s in test_specs]
 
     cfg = Config(
         model=ModelConfig(white_background=args.white_background,
@@ -77,7 +80,7 @@ def train_sequence(args, seq: str):
     save_json(cfg, os.path.join(cfg.model_path, "cfg.json"))
     dump_cameras_json(
         os.path.join(cfg.model_path, "cameras.json"),
-        [f.camera for f in test_frames + train_frames],
+        test_cameras + [f.camera for f in train_frames],
     )
     tb = TBWriter(cfg.model_path if args.tensorboard else None)
     ema = EMALogger()
@@ -90,7 +93,8 @@ def train_sequence(args, seq: str):
             print(f"[{seq}] iter {it} loss={sm.get('loss', 0):.4f} "
                   f"l1={sm.get('l1', 0):.4f} ({time.time() - t0:.0f}s)")
 
-    trainer = Trainer(scene, train_frames, test_frames, cfg, crop_hw=crop_hw, log_fn=log)
+    trainer = Trainer(scene, train_frames, test_specs, cfg, crop_hw=crop_hw,
+                      log_fn=log, tb=tb)
     metrics = trainer.train(eval_iters=args.test_iterations)
     for m in metrics:
         from moss_tpu.ops.lpips_jax import result_note
