@@ -52,7 +52,7 @@ def make_mesh(n_data: int, n_tile: int, devices=None) -> Mesh:
     return Mesh(dev, ("data", "tile"))
 
 
-def band_rasterize_fn(n_tile: int, axis: str = "tile") -> Callable:
+def band_rasterize_fn(n_tile: int, axis: str = "tile", slot_budget: int = 0) -> Callable:
     """A rasterize_fn for render_frame that renders this device's pixel band.
 
     Must run inside shard_map over `axis`. The band y-origin comes from the
@@ -70,7 +70,8 @@ def band_rasterize_fn(n_tile: int, axis: str = "tile") -> Callable:
         y0 = (i * hb).astype(jnp.float32)
         shift = jnp.stack([jnp.zeros_like(y0), y0])
         proj_local = proj._replace(mean2d=proj.mean2d - shift[None, :])
-        out = rt.rasterize_tpu(proj_local, bg_color, hb, width)
+        out = rt.rasterize_tpu(proj_local, bg_color, hb, width,
+                               slot_budget=slot_budget)
         full = {
             k: jax.lax.all_gather(v, axis, axis=0, tiled=True)
             for k, v in out.items()
@@ -98,6 +99,8 @@ def make_sharded_train_step(
     crop_h: int,
     crop_w: int,
     lpips_params=None,
+    spatial_lr_scale: float = 1.0,
+    slot_budget: int = 0,
 ):
     """Build (init_fn, step_fn) for multi-chip training over a frame batch.
 
@@ -105,15 +108,18 @@ def make_sharded_train_step(
     over 'data'; pixels sharded over 'tile'; params and optimizer replicated.
     Densify statistics follow the reference semantics per frame (grad-norm per
     frame, then summed over the batch — matching its sequential accumulation).
+    slot_budget: per-BAND static pair-buffer budget (0 = safe default); the
+    sharded trainer probes the densest band and autosizes it like the
+    single-chip path.
     """
-    optimizer = make_optimizer(cfg.optim)
+    optimizer = make_optimizer(cfg.optim, spatial_lr_scale=spatial_lr_scale)
     weights = LossWeights(
         l1=cfg.optim.w_l1, mask=cfg.optim.w_mask, ssim=cfg.optim.w_ssim,
         lpips=cfg.optim.w_lpips, nll=cfg.optim.w_nll, s3im=cfg.optim.w_s3im,
     )
     bg = jnp.ones(3) if cfg.model.white_background else jnp.zeros(3)
     n_data, n_tile = mesh.shape["data"], mesh.shape["tile"]
-    raster = band_rasterize_fn(n_tile)
+    raster = band_rasterize_fn(n_tile, slot_budget=slot_budget)
 
     def init_fn(params):
         return optimizer.init(params)

@@ -41,9 +41,16 @@ def make_train_step(
     lpips_params,
     crop_h: int,
     crop_w: int,
+    spatial_lr_scale: float = 1.0,
 ):
-    """Build (init_fn, step_fn). step_fn is jitted with sh_degree static."""
-    optimizer = make_optimizer(cfg.optim)
+    """Build (init_fn, step_fn). step_fn is jitted with sh_degree static.
+
+    spatial_lr_scale: the scene's camera extent — the reference multiplies the
+    xyz learning rate by it (gaussian_model.py:263-269 via training_setup
+    :208). 1.0 for the monocular human datasets (extent forced to 1,
+    dataset_readers.py:714-715); the COLMAP/Blender static-scene path must
+    pass the nerfpp_norm radius."""
+    optimizer = make_optimizer(cfg.optim, spatial_lr_scale=spatial_lr_scale)
     weights = LossWeights(
         l1=cfg.optim.w_l1, mask=cfg.optim.w_mask, ssim=cfg.optim.w_ssim,
         lpips=cfg.optim.w_lpips, nll=cfg.optim.w_nll, s3im=cfg.optim.w_s3im,

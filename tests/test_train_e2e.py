@@ -192,3 +192,38 @@ def test_config_json_roundtrip(tmp_path):
     p = str(tmp_path / "cfg.json")
     save_json(c, p)
     assert load_json(p) == c
+
+
+def test_spatial_lr_scale_scales_xyz_updates():
+    """make_optimizer(spatial_lr_scale=s) multiplies ONLY the xyz LR by s —
+    the reference's training_setup passes position_lr_init*spatial_lr_scale
+    (gaussian_model.py:208,263-269; extent=1 for monocular, nerfpp radius for
+    COLMAP/Blender scenes)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from moss_tpu.config import OptimConfig
+    from moss_tpu.models.gaussians import create_from_points
+    from moss_tpu.train.optim import make_optimizer
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(16, 3)).astype(np.float32)
+    params, _ = create_from_points(pts, rng.uniform(size=(16, 3)).astype(np.float32),
+                                   capacity=16)
+    p = {"gauss": params}
+    grads = jax.tree.map(jnp.ones_like, p)
+    cfg = OptimConfig(weight_decay=0.0)
+
+    def xyz_update(scale):
+        opt = make_optimizer(cfg, spatial_lr_scale=scale)
+        upd, _ = opt.update(grads, opt.init(p), p)
+        return upd
+
+    u1, u2 = xyz_update(1.0), xyz_update(2.0)
+    np.testing.assert_allclose(
+        np.asarray(u2["gauss"].xyz), 2.0 * np.asarray(u1["gauss"].xyz), rtol=1e-6
+    )
+    # non-xyz groups unaffected
+    np.testing.assert_allclose(
+        np.asarray(u2["gauss"].scaling), np.asarray(u1["gauss"].scaling), rtol=0
+    )
