@@ -35,6 +35,22 @@ def pytest_configure(config):
     config.addinivalue_line("markers", "slow: multi-minute end-to-end tests")
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (multi-minute subprocess e2e drivers)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow test: pass --runslow to include")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(3407)  # reference's fixed seed (general_utils.py:141)
