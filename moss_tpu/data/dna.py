@@ -134,10 +134,12 @@ def read_dna_rendering(
     annot_path = path.replace("main", "annotations").split(".")[0] + "_annots.smc"
     if smplx_path and os.path.exists(smplx_path):
         model = S.load_smplx_npz(smplx_path)
-        big = S.big_pose_params_smplx()
     else:
-        model = S.synthetic_smpl()
-        big = S.big_pose_params()
+        # structurally-correct J=55 stand-in: the capture's fullpose is
+        # 165-dim, so the fallback must be SMPL-X-shaped (a J=24 model would
+        # shape-error in rodrigues/rigid_transform_chain)
+        model = S.synthetic_smplx()
+    big = S.big_pose_params_smplx()
     v_big, _ = S.lbs_vertices(model, big["poses"][0], big["shapes"][0])
     import jax.numpy as jnp
 

@@ -39,6 +39,17 @@ SMPL_PARENTS: Tuple[int, ...] = (
 NUM_JOINTS = 24
 NUM_VERTS = 6890
 
+# SMPL-X kinematic tree: 55 joints — 22 body + jaw/leye/reye + 2x15 hand
+# (smplx/joint_names.py JOINT_NAMES order; parents from the asset's
+# kintree_table, vendored smplx/body_models.py:1118 path).
+SMPLX_PARENTS: Tuple[int, ...] = (
+    -1, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9, 12, 13, 14, 16, 17, 18, 19,
+    15, 15, 15,                                   # jaw, left_eye, right_eye
+    20, 25, 26, 20, 28, 29, 20, 31, 32, 20, 34, 35, 20, 37, 38,  # left hand
+    21, 40, 41, 21, 43, 44, 21, 46, 47, 21, 49, 50, 21, 52, 53,  # right hand
+)
+NUM_JOINTS_SMPLX = 55
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -133,21 +144,24 @@ def big_pose_params_smplx(n_shapes: int = 20):
 
 
 def synthetic_smpl(
-    n_verts: int = NUM_VERTS, n_shapes: int = 10, seed: int = 3407
+    n_verts: int = NUM_VERTS, n_shapes: int = 10, seed: int = 3407,
+    parents: Tuple[int, ...] = SMPL_PARENTS,
 ) -> SMPLModel:
     """Random SMPL-shaped body model for tests/benchmarks (no real asset needed).
 
     Vertices form a rough capsule around a chain of joints so that LBS produces
     geometrically sensible deformations; skinning weights fall off with
-    distance to the two nearest joints and are row-normalized.
+    distance to the two nearest joints and are row-normalized. `parents`
+    selects the rig: SMPL_PARENTS (J=24) or SMPLX_PARENTS (J=55,
+    synthetic_smplx below).
     """
     rng = np.random.default_rng(seed)
-    J = NUM_JOINTS
+    J = len(parents)
 
     # joints laid out along a rough humanoid: root at origin, children offset.
     joint_pos = np.zeros((J, 3), np.float32)
     for j in range(1, J):
-        p = SMPL_PARENTS[j]
+        p = parents[j]
         joint_pos[j] = joint_pos[p] + rng.normal(0, 0.12, 3) + np.array(
             [0.0, 0.1 if j < 12 else -0.05, 0.0]
         )
@@ -155,7 +169,7 @@ def synthetic_smpl(
     # vertices: sample around random bones
     bone = rng.integers(0, J, n_verts)
     t = rng.uniform(0, 1, (n_verts, 1)).astype(np.float32)
-    parent_of = np.array([SMPL_PARENTS[b] if SMPL_PARENTS[b] >= 0 else b for b in bone])
+    parent_of = np.array([parents[b] if parents[b] >= 0 else b for b in bone])
     v = joint_pos[bone] * t + joint_pos[parent_of] * (1 - t)
     v = v + rng.normal(0, 0.04, (n_verts, 3)).astype(np.float32)
 
@@ -181,7 +195,19 @@ def synthetic_smpl(
         J_regressor=jnp.asarray(J_reg),
         weights=jnp.asarray(w),
         faces=jnp.asarray(faces),
+        parents=parents,
     )
+
+
+def synthetic_smplx(
+    n_verts: int = 2000, n_shapes: int = 20, seed: int = 3407
+) -> SMPLModel:
+    """Random SMPL-X-shaped body model: J=55 rig (SMPLX_PARENTS), 20-dim
+    shapes (betas ++ expression, the DNA-Rendering convention,
+    dataset_readers.py:806), posedirs over 54 non-root joints — so the J=55
+    deform chain / 165-dim full_pose path is testable without the
+    proprietary asset."""
+    return synthetic_smpl(n_verts, n_shapes, seed, parents=SMPLX_PARENTS)
 
 
 def big_pose_params(n_shapes: int = 10):

@@ -125,21 +125,29 @@ def make_sharded_train_step(
         return optimizer.init(params)
 
     @jax.jit
-    def step_fn(ts: TrainState, frames: Frame, sh_degree, gt_lpips_feats=None):
+    def step_fn(ts: TrainState, frames_all: Frame, idx, sh_degree,
+                gt_lpips_feats=None):
+        """One data-parallel update.
+
+        frames_all: the WHOLE stacked train split (F, ...), replicated — it
+        stays device-resident across the run so queued dispatch needs no
+        per-step host tensor work (PERF.md 'queued async dispatch').
+        idx: (n_data,) int32, the frame each 'data' shard trains on this step.
+        gt_lpips_feats: optionally the whole split's stacked gt LPIPS towers
+        (list of (F, 1, H', W', C)), indexed by the same idx.
+        """
         P_cap = ts.params["gauss"].capacity
-        cam0 = jax.tree.map(lambda x: x[0], frames.camera)
+        cam0 = jax.tree.map(lambda x: x[0], frames_all.camera)
         sh_deg = jnp.asarray(sh_degree, jnp.int32)
         has_feats = gt_lpips_feats is not None
 
-        def device_forward(params, valid, frames_shard, dummy_shard, sh_deg,
-                           *feats_shard):
-            frame = jax.tree.map(lambda x: x[0], frames_shard)
-            # (1, 1, H', W', C) per stage when the gt LPIPS cache is staged
-            # (one frame per 'data' shard) — same hoisted-gt-tower trick as
-            # the single-chip step
-            feats = (
-                [f[0] for f in feats_shard] if has_feats else None
-            )
+        def device_forward(params, valid, idx_shard, dummy_shard, sh_deg,
+                           frames_rep, *feats_rep):
+            i = idx_shard[0]
+            frame = jax.tree.map(lambda x: x[i], frames_rep)
+            # (1, H', W', C) per stage when the gt LPIPS cache is staged —
+            # same hoisted-gt-tower trick as the single-chip step
+            feats = [f[i] for f in feats_rep] if has_feats else None
             out = render_frame(
                 params["gauss"], valid, params.get("mlps"), scene,
                 frame.smpl_params, frame.camera, bg, cfg.model.sh_degree,
@@ -154,6 +162,7 @@ def make_sharded_train_step(
             )
             total = jax.lax.pmean(total, "data")
             logs = jax.tree.map(lambda x: jax.lax.pmean(x, "data"), logs)
+            logs["raster_overflow"] = jax.lax.psum(out["overflow"], "data")
             aux = {
                 "logs": logs,
                 "vis": out["visibility_filter"][None],
@@ -168,8 +177,8 @@ def make_sharded_train_step(
         n_feats = len(gt_lpips_feats) if has_feats else 0
         fwd = _shard_map_compat(
             device_forward, mesh,
-            in_specs=(P(), P(), P("data"), P("data"), P())
-            + (P("data"),) * n_feats,
+            in_specs=(P(), P(), P("data"), P("data"), P(), P())
+            + (P(),) * n_feats,
             out_specs=(P(), {
                 "logs": P(),
                 "vis": P("data"), "radii": P("data"),
@@ -179,7 +188,7 @@ def make_sharded_train_step(
 
         def loss_fn(params, dummy):
             total, aux = fwd(
-                params, ts.gstate.valid, frames, dummy, sh_deg,
+                params, ts.gstate.valid, idx, dummy, sh_deg, frames_all,
                 *(gt_lpips_feats if has_feats else ()),
             )
             return total, aux
@@ -211,7 +220,9 @@ def make_sharded_train_step(
             joint_F=gs.joint_F + jnp.sum(aux["Rs"], axis=0),
             lbs_weight_sum=gs.lbs_weight_sum + jnp.sum(aux["bw"], axis=0),
         )
-        return TrainState(params, opt_state, gstate, ts.step + 1), aux["logs"]
+        logs = dict(aux["logs"])
+        logs["num_points"] = gstate.num_valid
+        return TrainState(params, opt_state, gstate, ts.step + 1), logs
 
     return init_fn, step_fn
 

@@ -67,6 +67,7 @@ class Trainer:
         extent: float = 1.0,  # monocular radius forced to 1 (dataset_readers.py:714)
         log_fn: Optional[Callable[[int, Dict], None]] = None,
         tb=None,
+        mesh=None,
     ):
         """train_frames must be loaded Frames (revisited ~30x each — kept
         device-resident); test_frames may be lazy FrameSpecs, streamed
@@ -74,7 +75,14 @@ class Trainer:
         independent of the test-split size (SURVEY §3.5 — the reference
         keeps all ~374 test frames on the GPU for the whole run).
         tb: optional observability.TBWriter for eval-time image/histogram
-        dumps (training_report parity, train_ZJU.py:249-263)."""
+        dumps (training_report parity, train_ZJU.py:249-263).
+        mesh: optional jax.sharding.Mesh('data','tile') — runs the FULL loop
+        (queued dispatch, densify, opacity reset, eval, checkpoint) on the
+        multi-chip step (parallel/sharded.py): frames data-parallel, pixels
+        band-sharded, Gaussians replicated, grads psum'd. Works on multi-host
+        meshes after parallel.distributed.initialize_distributed(). Each
+        sharded iteration consumes mesh.shape['data'] frames with pmean'd
+        loss (standard DP semantics; the reference is batch=1)."""
         from .. import enable_compilation_cache
 
         enable_compilation_cache()
@@ -85,6 +93,7 @@ class Trainer:
         self.extent = extent
         self.log_fn = log_fn
         self.tb = tb
+        self.mesh = mesh
         self._tb_gt_logged = False
         # Pair-buffer autosizing (the TPU analog of the reference's per-frame
         # arena resizing, rasterize_points.cu:27-33): only when we own the
@@ -109,10 +118,25 @@ class Trainer:
         p = {"gauss": params}
         if mlps is not None:
             p["mlps"] = mlps
-        init_fn, self.step_fn = make_train_step(
-            scene, cfg, self.rasterize_fn, self.lpips_params, *crop_hw,
-            spatial_lr_scale=extent,
-        )
+        if mesh is None:
+            init_fn, self.step_fn = make_train_step(
+                scene, cfg, self.rasterize_fn, self.lpips_params, *crop_hw,
+                spatial_lr_scale=extent,
+            )
+            self._frames_all = None
+        else:
+            assert rasterize_fn is None and cfg.pipe.rasterizer == "pallas", (
+                "mesh mode drives the band-sharded Pallas rasterizer"
+            )
+            from ..parallel.sharded import make_sharded_train_step, stack_frames
+
+            init_fn, self.step_fn = make_sharded_train_step(
+                scene, cfg, mesh, *crop_hw, lpips_params=self.lpips_params,
+                spatial_lr_scale=extent,
+            )
+            self._frames_all = stack_frames(train_frames) if train_frames else None
+            self._autosize = cfg.pipe.rasterizer == "pallas"
+            self._band_need_fn = None
         self.ts = TrainState(p, init_fn(p), gstate, jnp.asarray(0, jnp.int32))
         self.metrics_history: List[Dict] = []
         self._eval_fn = self._build_eval_fn()
@@ -120,11 +144,58 @@ class Trainer:
             self._resize_pair_buffer()
 
     # ------------------------------------------------------------------
+    def _probe_band_slot_need(self, frame) -> int:
+        """Mesh mode: the densest band's aligned-slot need — each chip
+        rasterizes an (H / n_tile)-row band, so its static pair buffer must
+        cover the band with the most tile-Gaussian pairs, not H/n_tile-th of
+        the full image's."""
+        from ..ops import rasterize_tpu as rt
+        from ..ops.binning import measure_slot_need
+
+        n_tile = self.mesh.shape["tile"]
+        bg = jnp.ones(3) if self.cfg.model.white_background else jnp.zeros(3)
+        if self._band_need_fn is None:
+
+            @jax.jit
+            def band_need_fn(params, valid, frame, y0):
+                def nf(proj, b, h, w):
+                    hb = h // n_tile
+                    shift = jnp.stack([jnp.zeros_like(y0), y0])
+                    pl = proj._replace(mean2d=proj.mean2d - shift[None, :])
+                    z = jnp.zeros((h, w))
+                    need = measure_slot_need(
+                        pl.mean2d, pl.conic, pl.opacity, pl.depth,
+                        pl.radius, pl.valid, hb, w, rt.TILE_H, rt.TILE_W,
+                        groups=rt.DEFAULT_GROUPS, radius_xy=pl.radius_xy,
+                    )["need"]
+                    return {"color": jnp.zeros((h, w, 3)), "depth": z,
+                            "alpha": z, "final_T": z, "need": need}
+
+                out = render_frame(
+                    params["gauss"], valid, params.get("mlps"), self.scene,
+                    frame.smpl_params, frame.camera, bg,
+                    self.cfg.model.sh_degree, rasterize_fn=nf,
+                    motion_offset=self.cfg.model.motion_offset,
+                )
+                return out["need"]
+
+            self._band_need_fn = band_need_fn
+        hb = frame.camera.height // n_tile
+        return max(
+            int(self._band_need_fn(
+                self.ts.params, self.ts.gstate.valid, frame,
+                jnp.asarray(b * hb, jnp.float32),
+            ))
+            for b in range(n_tile)
+        )
+
     def _probe_slot_need(self, frame) -> int:
         """Exact aligned-slot need of one training frame under the current
         cloud (binning.measure_slot_need through the full deform chain).
         The jitted probe is built once and cached — it runs after every
         densify, and rebuilding the jit wrapper would recompile each time."""
+        if self.mesh is not None:
+            return self._probe_band_slot_need(frame)
         if getattr(self, "_need_fn", None) is not None:
             return int(self._need_fn(self.ts.params, self.ts.gstate.valid, frame))
         from ..ops import rasterize_tpu as rt
@@ -186,8 +257,12 @@ class Trainer:
         from ..ops.binning import default_slot_budget
 
         cam = self.train_frames[0].camera
+        h_budget = (
+            cam.height if self.mesh is None
+            else cam.height // self.mesh.shape["tile"]  # per-band buffer
+        )
         cap = default_slot_budget(
-            self.ts.params["gauss"].capacity, cam.height, cam.width,
+            self.ts.params["gauss"].capacity, h_budget, cam.width,
             rt.TILE_H, rt.TILE_W, groups=rt.DEFAULT_GROUPS,
         )
         if budget >= cap:
@@ -195,12 +270,23 @@ class Trainer:
                 return
             budget = 0  # back to default (cannot happen: budgets never shrink)
         self._slot_budget = budget
-        self.rasterize_fn = functools.partial(rasterize_tpu, slot_budget=budget)
-        _, self.step_fn = make_train_step(
-            self.scene, self.cfg, self.rasterize_fn, self.lpips_params,
-            *self.crop_hw, spatial_lr_scale=self.extent,
-        )
-        self._eval_fn = self._build_eval_fn()
+        if self.mesh is None:
+            self.rasterize_fn = functools.partial(rasterize_tpu, slot_budget=budget)
+            _, self.step_fn = make_train_step(
+                self.scene, self.cfg, self.rasterize_fn, self.lpips_params,
+                *self.crop_hw, spatial_lr_scale=self.extent,
+            )
+            self._eval_fn = self._build_eval_fn()
+        else:
+            from ..parallel.sharded import make_sharded_train_step
+
+            _, self.step_fn = make_sharded_train_step(
+                self.scene, self.cfg, self.mesh, *self.crop_hw,
+                lpips_params=self.lpips_params, spatial_lr_scale=self.extent,
+                slot_budget=budget,
+            )
+            # eval stays on the full-image single-program path (replicated
+            # params) with its own default budget — unchanged
         self._step_version += 1
 
     def _build_eval_fn(self):
@@ -296,14 +382,22 @@ class Trainer:
         eval_iters = set(eval_iters or cfg.pipe.test_iterations)
         rng = np.random.default_rng(cfg.seed)
         t0 = time.time()
+        n_data = 1 if self.mesh is None else self.mesh.shape["data"]
 
-        # epoch-shuffled frame index sequence (reference train_ZJU.py:92-94)
+        # epoch-shuffled frame index sequence (reference train_ZJU.py:92-94);
+        # mesh mode consumes n_data frames per step
         order = []
-        while len(order) < iters:
+        while len(order) < iters * n_data:
             order.extend(rng.permutation(len(self.train_frames)).tolist())
-        order = np.asarray(order[:iters], np.int32)
+        order = np.asarray(order[: iters * n_data], np.int32).reshape(iters, n_data)
 
-        if fused_dispatch and len(self.train_frames) > 0:
+        gt_feats_all = gt_feats_list = None
+        if self.mesh is not None:
+            # the whole split + its gt LPIPS towers stay device-resident and
+            # each step gathers its n_data frames by index INSIDE the jitted
+            # program — queued dispatch with zero per-step host tensor work
+            gt_feats_all = self._stage_gt_lpips_feats(stacked=True)
+        elif fused_dispatch and len(self.train_frames) > 0:
             # per-frame list (device-resident): queued dispatch needs no
             # stacking/gather at all
             gt_feats_list = self._stage_gt_lpips_feats(stacked=False)
@@ -328,7 +422,27 @@ class Trainer:
                 m["elapsed_s"] = time.time() - t0
                 self.metrics_history.append(m)
 
-        if fused_dispatch:
+        if self.mesh is not None:
+
+            def dispatch(it):
+                deg = active_sh_degree(it, cfg.model.sh_degree)
+                self.ts, logs = self.step_fn(
+                    self.ts, self._frames_all, order[it - 1], deg, gt_feats_all
+                )
+                return logs
+
+        else:
+
+            def dispatch(it):
+                idx = int(order[it - 1, 0])
+                deg = active_sh_degree(it, cfg.model.sh_degree)
+                self.ts, logs = self.step_fn(
+                    self.ts, self.train_frames[idx], deg,
+                    gt_feats_list[idx] if gt_feats_list is not None else None,
+                )
+                return logs
+
+        if fused_dispatch or self.mesh is not None:
             # Queued async dispatch: between host boundaries every step is
             # dispatched without any device fetch, so the per-step host round
             # trip is hidden behind device execution; the single fetch at the
@@ -341,20 +455,12 @@ class Trainer:
                 if bound > prev:
                     logs = None
                     for it in range(prev + 1, bound + 1):
-                        idx = int(order[it - 1])
-                        deg = active_sh_degree(it, cfg.model.sh_degree)
-                        self.ts, logs = self.step_fn(
-                            self.ts, self.train_frames[idx], deg,
-                            gt_feats_list[idx]
-                            if gt_feats_list is not None else None,
-                        )
+                        logs = dispatch(it)
                     host_work(bound, logs)
                     prev = bound
         else:
             for it in range(1, iters + 1):
-                frame = self.train_frames[order[it - 1]]
-                deg = active_sh_degree(it, cfg.model.sh_degree)
-                self.ts, logs = self.step_fn(self.ts, frame, deg)
+                logs = dispatch(it)
                 host_work(it, logs if it % 10 == 0 else None)
         return self.metrics_history
 

@@ -32,6 +32,17 @@ def parse_args():
                    help="static SSIM/LPIPS crop size; 0 = autosize to the "
                         "split's max bound rect (bucketed, never clips)")
     p.add_argument("--capacity", type=int, default=46080)
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator address host:port for "
+                        "jax.distributed.initialize (run the same command on "
+                        "every host with its own --process_id)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--n_data", type=int, default=0,
+                   help="data-parallel mesh axis (frames/step); with --n_tile "
+                        "selects the multi-chip trainer. 0 0 = single chip")
+    p.add_argument("--n_tile", type=int, default=0,
+                   help="pixel-band mesh axis (chips per image)")
     p.add_argument("--n_init", type=int, default=6890)
     return p.parse_args()
 
@@ -93,8 +104,15 @@ def train_sequence(args, seq: str):
             print(f"[{seq}] iter {it} loss={sm.get('loss', 0):.4f} "
                   f"l1={sm.get('l1', 0):.4f} ({time.time() - t0:.0f}s)")
 
+    mesh = None
+    if args.n_data or args.n_tile:
+        from moss_tpu.parallel.distributed import global_mesh
+
+        mesh = global_mesh(args.n_data, args.n_tile)
+        print(f"[{seq}] mesh: data={mesh.shape['data']} "
+              f"tile={mesh.shape['tile']}")
     trainer = Trainer(scene, train_frames, test_specs, cfg, crop_hw=crop_hw,
-                      log_fn=log, tb=tb)
+                      log_fn=log, tb=tb, mesh=mesh)
     metrics = trainer.train(eval_iters=args.test_iterations)
     for m in metrics:
         from moss_tpu.ops.lpips_jax import result_note
@@ -110,6 +128,12 @@ def train_sequence(args, seq: str):
 
 def main():
     args = parse_args()
+    if args.coordinator or args.num_processes:
+        # must run before any other jax API touches the backend
+        from moss_tpu.parallel.distributed import initialize_distributed
+
+        initialize_distributed(args.coordinator, args.num_processes,
+                               args.process_id)
     if args.debug_nans:
         import jax
 

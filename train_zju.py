@@ -40,6 +40,17 @@ def parse_args():
     p.add_argument("--capacity", type=int, default=46080,
                    help="static Gaussian capacity (the reference's 45,695 cap "
                         "rounded to a lane multiple)")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator address host:port for "
+                        "jax.distributed.initialize (run the same command on "
+                        "every host with its own --process_id)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--n_data", type=int, default=0,
+                   help="data-parallel mesh axis (frames/step); with --n_tile "
+                        "selects the multi-chip trainer. 0 0 = single chip")
+    p.add_argument("--n_tile", type=int, default=0,
+                   help="pixel-band mesh axis (chips per image)")
     p.add_argument("--n_init", type=int, default=6890,
                    help="initial point count (SMPL vertex count)")
     return p.parse_args()
@@ -107,8 +118,15 @@ def train_subject(args, subject: str):
             print(f"[{subject}] iter {it} {msg} pts={int(logs['num_points'])} "
                   f"({time.time() - t0:.0f}s)")
 
+    mesh = None
+    if args.n_data or args.n_tile:
+        from moss_tpu.parallel.distributed import global_mesh
+
+        mesh = global_mesh(args.n_data, args.n_tile)
+        print(f"[{subject}] mesh: data={mesh.shape['data']} "
+              f"tile={mesh.shape['tile']}")
     trainer = Trainer(scene, train_frames, test_specs, cfg, crop_hw=crop_hw,
-                      log_fn=log, tb=tb)
+                      log_fn=log, tb=tb, mesh=mesh)
     metrics = trainer.train(eval_iters=args.test_iterations)
     from moss_tpu.ops.lpips_jax import result_note
 
@@ -137,6 +155,12 @@ def train_subject(args, subject: str):
 
 def main():
     args = parse_args()
+    if args.coordinator or args.num_processes:
+        # must run before any other jax API touches the backend
+        from moss_tpu.parallel.distributed import initialize_distributed
+
+        initialize_distributed(args.coordinator, args.num_processes,
+                               args.process_id)
     if args.debug_nans:
         import jax
 
