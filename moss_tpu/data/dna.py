@@ -148,7 +148,10 @@ def read_dna_rendering(
     annots = SMCReader(annot_path)
     specs: List[DNAFrameSpec] = []
     try:
-        for frame_id in range(pose_start, pose_start + pose_num * pose_interval, pose_interval):
+        # clamp to the capture's actual length so short captures load
+        n_avail = int(annots.smc["SMPLx"]["fullpose"].shape[0])
+        stop = min(pose_start + pose_num * pose_interval, n_avail)
+        for frame_id in range(pose_start, stop, pose_interval):
             sd = annots.get_SMPLx(frame_id)
             poses = np.asarray(sd["fullpose"], np.float32).reshape(1, -1)
             shapes = np.concatenate(

@@ -169,8 +169,12 @@ def make_sharded_train_step(
                 "radii": out["radii"][None],
                 "Rs": (out["pose_out"]["Rs"][None]
                        if out["pose_out"] is not None else jnp.zeros((1, 23, 3, 3))),
+                # gated on pose_out like the single-chip step: the Fisher
+                # splat is defined for the 24-joint SMPL motion-offset path
                 "bw": (out["lbs_weights"][None]
-                       if out["lbs_weights"] is not None else jnp.zeros((1, P_cap, 24))),
+                       if out["pose_out"] is not None
+                       and out["lbs_weights"] is not None
+                       else jnp.zeros((1, P_cap, 24))),
             }
             return total, aux
 

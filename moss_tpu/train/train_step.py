@@ -110,9 +110,14 @@ def make_train_step(
                 gs.joint_F + out["pose_out"]["Rs"]
                 if out["pose_out"] is not None else gs.joint_F
             ),
+            # motion-aware densify stats exist only on the SMPL motion-offset
+            # path (24-joint blend weights + 23-joint Fisher factors from the
+            # MLPs, train_ZJU.py:127); base weights of other rigs (e.g. J=55
+            # SMPL-X without MLPs) don't feed the Fisher splat
             lbs_weight_sum=(
                 gs.lbs_weight_sum + out["lbs_weights"]
-                if out["lbs_weights"] is not None else gs.lbs_weight_sum
+                if out["pose_out"] is not None and out["lbs_weights"] is not None
+                else gs.lbs_weight_sum
             ),
         )
 
