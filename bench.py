@@ -44,6 +44,8 @@ def _queued_time(fn, *args, n: int = 10):
 
 
 def main():
+    import os
+
     import jax
 
     import moss_tpu
@@ -60,10 +62,14 @@ def main():
     if jax.devices()[0].platform == "cpu":
         rt.INTERPRET = True
 
-    H = W = 512
+    # MOSS_BENCH_SHAPE=1024 benchmarks the MonoCap full-res shape
+    # (dataset_readers.py:299, image_scaling=1.0) instead of the ZJU 512^2
+    # north-star; same 46k splats, 4x the rays.
+    H = W = int(os.environ.get("MOSS_BENCH_SHAPE", "512"))
     P = 46080
     rng = np.random.default_rng(0)
-    K = np.array([[550.0, 0, W / 2], [0, 550.0, H / 2], [0, 0, 1.0]])
+    f = 550.0 * H / 512.0  # keep the subject's angular size across shapes
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
     cam = Camera.from_KRT(K, np.eye(3), np.zeros(3), H, W)
     means = np.stack(
         [rng.uniform(-0.4, 0.4, P), rng.uniform(-0.7, 0.7, P), rng.uniform(1.5, 2.5, P)],
@@ -140,7 +146,7 @@ def main():
         vs_baseline = float("nan")
 
     print(json.dumps({
-        "metric": "rays_per_s_per_chip_fwd_bwd_512x512_46k",
+        "metric": f"rays_per_s_per_chip_fwd_bwd_{H}x{W}_46k",
         "value": round(rays_pallas, 1),
         "unit": "rays/s",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline == vs_baseline else None,
