@@ -183,11 +183,18 @@ def _features(params, x, dtype) -> List[jnp.ndarray]:
             h = jax.nn.relu(_conv(p, h, dtype))
         feats.append(h)
         if bi < len(params["convs"]) - 1:
-            h = jax.lax.reduce_window(
-                h, h.dtype.type(-jnp.inf), jax.lax.max,
-                (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
-            )
+            h = _maxpool2(h)
     return feats
+
+
+def _maxpool2(h):
+    """2x2/2 max pool as reshape+max. Matches reduce_window(VALID) exactly
+    (odd trailing row/col dropped), but its autodiff is an equality-select
+    instead of reduce_window's select_and_scatter lowering — measured f+b
+    1.67 -> 1.06 ms (512^2 C=64) and 0.90 -> 0.20 ms (256^2 C=128) on v5e."""
+    n, hh, ww, c = h.shape
+    h = h[:, : (hh // 2) * 2, : (ww // 2) * 2, :]
+    return jnp.max(h.reshape(n, hh // 2, 2, ww // 2, 2, c), axis=(2, 4))
 
 
 def _norm_input(im):
