@@ -116,12 +116,8 @@ def convert_torch_weights(out_path: str):  # pragma: no cover - needs torchvisio
 
 def _im2col_conv(w, b, x, dtype):
     """3x3 SAME conv as explicit 9-tap im2col + one (N*H*W, 9*Cin)@(9*Cin, Cout)
-    matmul. Measured faster than XLA's conv lowering in the FORWARD direction
-    (2.59 vs 3.16 ms for the full 512^2 tower, tools/lpips_ab.py) and ~5x
-    faster at tiny input depth (conv1_1 Cin=3), but its autodiff VJP —
-    pad/slice transposes over the 9x-widened patch tensor — is SLOWER than the
-    conv adjoint (8.70 vs 8.00 ms f+b). _conv therefore pairs this forward
-    with a hand-written transposed-conv backward (below)."""
+    matmul. Measured optimal in the WHOLE fused lpips program (see
+    _conv_p_bwd note and PERF.md "LPIPS conv formulation")."""
     cin = w.shape[2]
     n, h, w_, _ = x.shape
     xp = jnp.pad(x.astype(dtype), ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -149,7 +145,13 @@ def _conv_p_bwd(dtype_name, res, g):
     # Input-gradient via the conv adjoint: a stride-1 SAME 3x3 conv's
     # transpose is another SAME 3x3 conv with the kernel rotated 180° and
     # I/O swapped. XLA's conv lowering wins in this direction (the im2col
-    # autodiff VJP pays pad/slice transposes over the 9x patch tensor).
+    # autodiff VJP pays pad/slice transposes over the 9x patch tensor;
+    # XLA's own conv-input-grad lowering is 10.4 ms f+b for the 512^2 64ch
+    # layer alone vs ~0.4 via this explicit adjoint).
+    # NOTE this im2col-fwd + conv-adjoint pairing is a measured WHOLE-PROGRAM
+    # optimum — per-layer micros say lax.conv/width-folding beat im2col by
+    # 2-4x per conv, but every such substitution makes the fused lpips f+b
+    # program slower (7.50 -> 8.0-10.1 ms; PERF.md "LPIPS conv formulation").
     # The LPIPS backbone is frozen (the reference trains through lpips as a
     # fixed metric, train_ZJU.py:121) — weight/bias cotangents are symbolic
     # zeros that XLA dead-code-eliminates.

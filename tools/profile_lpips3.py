@@ -60,8 +60,10 @@ def main():
         w = np.random.default_rng(1).normal(0, 0.05, (3, 3, cin, cout)).astype(np.float32)
         b = np.zeros(cout, np.float32)
 
-        f = jax.jit(lambda x: jnp.sum(L._conv_p(w, b, x, dt_name).astype(jnp.float32)))
-        fb = jax.jit(jax.grad(lambda x: jnp.sum(L._conv_p(w, b, x, dt_name).astype(jnp.float32))))
+        f = jax.jit(lambda x: jnp.sum(
+            L._conv_p(w, b, x, dt_name).astype(jnp.float32)))
+        fb = jax.jit(jax.grad(lambda x: jnp.sum(jax.nn.relu(
+            L._conv_p(w, b, x, dt_name)).astype(jnp.float32))))
         dt_f = qt(f, x)
         dt_fb = qt(fb, x)
         flops = 2 * h * h * cout * 9 * cin
