@@ -218,3 +218,31 @@ class TestWeightsLoader:
         lpips_jax._DEFAULT_PARAMS = None
         monkeypatch.delenv("MOSS_LPIPS_WEIGHTS")
         lpips_jax.get_default_params()
+
+
+class TestMaxpoolReshape:
+    """_maxpool2 (reshape+max) must match reduce_window(VALID) exactly —
+    values and gradients — including odd trailing rows/cols (dropped)."""
+
+    @pytest.mark.parametrize("hw", [(8, 8), (9, 8), (8, 9), (11, 13)])
+    def test_matches_reduce_window(self, hw):
+        import jax
+        import jax.numpy as jnp
+
+        h, w = hw
+        rng = np.random.default_rng(h * 100 + w)
+        x = jnp.asarray(rng.normal(size=(1, h, w, 5)).astype(np.float32))
+
+        def rw(x):
+            return jax.lax.reduce_window(
+                x, x.dtype.type(-jnp.inf), jax.lax.max,
+                (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+        y_rs = lpips_jax._maxpool2(x)
+        y_rw = rw(x)
+        np.testing.assert_array_equal(np.asarray(y_rs), np.asarray(y_rw))
+
+        g_rs = jax.grad(lambda x: jnp.sum(lpips_jax._maxpool2(x) ** 2))(x)
+        g_rw = jax.grad(lambda x: jnp.sum(rw(x) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g_rs), np.asarray(g_rw),
+                                   atol=1e-6)
