@@ -88,6 +88,25 @@ class Camera:
             width=int(W),
         )
 
+    @staticmethod
+    def from_viewer_spec(spec: dict) -> "Camera":
+        """Build a Camera from a SIBR remote-viewer message
+        (train/network_gui.NetworkGUI.receive): the viewer ships the
+        row-vector world_view and full_proj matrices directly, matching the
+        reference's MiniCam construction (its network_gui.py:70-84)."""
+        wv = np.asarray(spec["world_view_transform"], np.float64).reshape(4, 4)
+        fp = np.asarray(spec["full_proj_transform"], np.float64).reshape(4, 4)
+        cam_center = np.linalg.inv(wv)[3, :3]
+        return Camera(
+            world_view=jnp.asarray(wv, jnp.float32),
+            full_proj=jnp.asarray(fp, jnp.float32),
+            cam_center=jnp.asarray(cam_center, jnp.float32),
+            tan_fovx=jnp.asarray(np.tan(spec["fovx"] * 0.5), jnp.float32),
+            tan_fovy=jnp.asarray(np.tan(spec["fovy"] * 0.5), jnp.float32),
+            height=int(spec["height"]),
+            width=int(spec["width"]),
+        )
+
     @property
     def focal_x(self):
         return self.width / (2.0 * self.tan_fovx)

@@ -102,6 +102,7 @@ class NetworkGUI:
                 cam, do_training, keep_alive, scale_mod = self.receive()
                 img_bytes = None
                 if cam is not None:
+                    cam["scale_modifier"] = scale_mod
                     img = np.asarray(render_fn(cam))
                     img_bytes = (np.clip(img, 0, 1) * 255).astype(np.uint8)
                 self.send(img_bytes, source_path)

@@ -68,6 +68,8 @@ class Trainer:
         log_fn: Optional[Callable[[int, Dict], None]] = None,
         tb=None,
         mesh=None,
+        gui=None,
+        source_path: str = "",
     ):
         """train_frames must be loaded Frames (revisited ~30x each — kept
         device-resident); test_frames may be lazy FrameSpecs, streamed
@@ -94,6 +96,8 @@ class Trainer:
         self.log_fn = log_fn
         self.tb = tb
         self.mesh = mesh
+        self.gui = gui  # optional network_gui.NetworkGUI (SIBR remote viewer)
+        self.source_path = source_path
         self._tb_gt_logged = False
         # Pair-buffer autosizing (the TPU analog of the reference's per-frame
         # arena resizing, rasterize_points.cu:27-33): only when we own the
@@ -421,6 +425,13 @@ class Trainer:
                 m["iteration"] = it
                 m["elapsed_s"] = time.time() - t0
                 self.metrics_history.append(m)
+            if self.gui is not None:
+                # SIBR remote-viewer poll (reference train_ZJU.py:67-80).
+                # Polled at host boundaries — queued dispatch means per-iter
+                # polling would force a device sync every step; the viewer
+                # gets an update every boundary (~100 iters) instead.
+                self.gui.poll(self._gui_render, self.source_path,
+                              training_done=it >= iters)
 
         if self.mesh is not None:
 
@@ -484,6 +495,25 @@ class Trainer:
         self.ts = TrainState(new_params, self.ts.opt_state, self.ts.gstate, self.ts.step)
 
     # ------------------------------------------------------------------
+    def _gui_render(self, spec: dict):
+        """Render the current cloud from a viewer-supplied camera. MOSS
+        renders need a pose — the viewer watches the first train frame's pose
+        (the reference's GUI hook is disabled for the same reason,
+        train_ZJU.py:327; this one works by pinning the pose)."""
+        from ..render.camera import Camera
+
+        cam = Camera.from_viewer_spec(spec)
+        frame = self.train_frames[0]
+        bg = jnp.ones(3) if self.cfg.model.white_background else jnp.zeros(3)
+        out = render_frame(
+            self.ts.params["gauss"], self.ts.gstate.valid,
+            self.ts.params.get("mlps"), self.scene, frame.smpl_params,
+            cam, bg, self.cfg.model.sh_degree, rasterize_fn=self.rasterize_fn,
+            motion_offset=self.cfg.model.motion_offset,
+            scaling_modifier=float(spec.get("scale_modifier", 1.0)),
+        )
+        return np.asarray(out["render"])
+
     def render_eval(self, frame: Frame, sh_degree=None):
         deg = sh_degree if sh_degree is not None else self.cfg.model.sh_degree
         bg = jnp.ones(3) if self.cfg.model.white_background else jnp.zeros(3)

@@ -44,6 +44,8 @@ def parse_args():
     p.add_argument("--n_tile", type=int, default=0,
                    help="pixel-band mesh axis (chips per image)")
     p.add_argument("--n_init", type=int, default=6890)
+    p.add_argument("--gui_port", type=int, default=0,
+                   help="SIBR remote-viewer port (0=off); reference network_gui")
     return p.parse_args()
 
 
@@ -111,8 +113,15 @@ def train_sequence(args, seq: str):
         mesh = global_mesh(args.n_data, args.n_tile)
         print(f"[{seq}] mesh: data={mesh.shape['data']} "
               f"tile={mesh.shape['tile']}")
+    gui = None
+    if args.gui_port:
+        from moss_tpu.train.network_gui import NetworkGUI
+
+        gui = NetworkGUI(port=args.gui_port)
+        gui.init()
     trainer = Trainer(scene, train_frames, test_specs, cfg, crop_hw=crop_hw,
-                      log_fn=log, tb=tb, mesh=mesh)
+                      log_fn=log, tb=tb, mesh=mesh, gui=gui,
+                      source_path=path)
     metrics = trainer.train(eval_iters=args.test_iterations)
     for m in metrics:
         from moss_tpu.ops.lpips_jax import result_note
