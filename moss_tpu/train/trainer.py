@@ -332,14 +332,28 @@ class Trainer:
         forward (train_ZJU.py:121) is pure recomputation. Returns a stacked
         pytree (list of 5 (F, 1, H', W', C) bf16 arrays), a per-frame list
         when stacked=False, or None when the cache would exceed the HBM
-        budget (MOSS_LPIPS_GT_CACHE bytes, default 2 GiB; set 0 to
-        disable)."""
+        budget (MOSS_LPIPS_GT_CACHE bytes; set 0 to disable).
+
+        Default budget 8 GiB: the reference ZJU workload (100 train frames,
+        crop <=512) tops out at ~6.3 GB of bf16 towers, and a v5e chip has
+        16 GB HBM of which the model/optimizer/frames/loss transients use
+        well under 2 GB at this shape (PERF.md) — a 2 GiB default silently
+        disabled the cache exactly at the real dataset scale, paying the
+        ~2.5 ms gt VGG forward back every step. MonoCap full-res (1024^2,
+        ~250 MB/frame) exceeds any sane budget and falls back to per-step
+        recompute, reported below."""
         if self.cfg.optim.w_lpips == 0.0 or not self.train_frames:
             return None
-        budget = int(os.environ.get("MOSS_LPIPS_GT_CACHE", 2 << 30))
+        budget = int(os.environ.get("MOSS_LPIPS_GT_CACHE", 8 << 30))
         ch, cw = self.crop_hw
         per_frame = lpips_jax.gt_feature_bytes(ch, cw)
-        if budget <= 0 or per_frame * len(self.train_frames) > budget:
+        need = per_frame * len(self.train_frames)
+        if budget <= 0 or need > budget:
+            if budget > 0:
+                print(f"[trainer] gt-LPIPS tower cache disabled: needs "
+                      f"{need / 2**30:.1f} GiB > MOSS_LPIPS_GT_CACHE "
+                      f"{budget / 2**30:.1f} GiB — paying one gt VGG forward "
+                      f"per step instead")
             return None
         from .losses import crop_window
 
