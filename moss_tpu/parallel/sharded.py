@@ -104,10 +104,13 @@ def make_sharded_train_step(
 ):
     """Build (init_fn, step_fn) for multi-chip training over a frame batch.
 
-    frames: a Frame pytree with leading dim n_data (use stack_frames), sharded
-    over 'data'; pixels sharded over 'tile'; params and optimizer replicated.
-    Densify statistics follow the reference semantics per frame (grad-norm per
-    frame, then summed over the batch — matching its sequential accumulation).
+    step_fn(ts, frames_all, idx, sh_degree, gt_lpips_feats) — frames_all is
+    the WHOLE stacked train split (leading dim F, replicated; use
+    stack_frames) and idx is an (n_data,) int32 vector of the frame each
+    'data' shard trains on this step; pixels are sharded over 'tile'; params
+    and optimizer replicated. Densify statistics follow the reference
+    semantics per frame (grad-norm per frame, then summed over the batch —
+    matching its sequential accumulation).
     slot_budget: per-BAND static pair-buffer budget (0 = safe default); the
     sharded trainer probes the densest band and autosizes it like the
     single-chip path.
@@ -210,8 +213,13 @@ def make_sharded_train_step(
         vis_b = aux["vis"]                       # (n_data, P)
         radii_b = aux["radii"].astype(jnp.float32)
         ndc_scale = jnp.array([cam0.width * 0.5, cam0.height * 0.5], jnp.float32)
-        g_dummy = grads[1]                       # (n_data, P, 2), per-frame
-        gnorm_b = jnp.linalg.norm(g_dummy * ndc_scale[None, None, :], axis=-1)
+        g_dummy = grads[1]                       # (n_data, P, 2)
+        # the loss is pmean'd over 'data', so each shard's dummy gradient is
+        # 1/n_data of that frame's own gradient; undo the mean so the accum
+        # matches the reference's per-frame add_densification_stats semantics
+        # (a 4-chip mesh would otherwise under-fire the densify threshold 4x)
+        gnorm_b = jnp.linalg.norm(
+            g_dummy * ndc_scale[None, None, :], axis=-1) * float(n_data)
         gstate = dataclasses.replace(
             gs,
             xyz_grad_accum=gs.xyz_grad_accum

@@ -109,6 +109,13 @@ class NetworkGUI:
                 if do_training and (not training_done or not keep_alive):
                     break
             except Exception:
+                # drop the viewer but say why — a silent None left the SIBR
+                # side hanging with no diagnostic and leaked the socket fd
+                traceback.print_exc()
+                try:
+                    self.conn.close()
+                except OSError:
+                    pass
                 self.conn = None
         return True
 

@@ -139,7 +139,6 @@ class Trainer:
                 spatial_lr_scale=extent,
             )
             self._frames_all = stack_frames(train_frames) if train_frames else None
-            self._autosize = cfg.pipe.rasterizer == "pallas"
             self._band_need_fn = None
         self.ts = TrainState(p, init_fn(p), gstate, jnp.asarray(0, jnp.int32))
         self.metrics_history: List[Dict] = []
@@ -397,7 +396,9 @@ class Trainer:
         dominates wall clock on remote TPU setups."""
         cfg = self.cfg
         iters = iterations or cfg.optim.iterations
-        eval_iters = set(eval_iters or cfg.pipe.test_iterations)
+        # explicit [] means "no evals" — only None falls back to the config
+        eval_iters = set(cfg.pipe.test_iterations if eval_iters is None
+                         else eval_iters)
         rng = np.random.default_rng(cfg.seed)
         t0 = time.time()
         n_data = 1 if self.mesh is None else self.mesh.shape["data"]
@@ -553,7 +554,10 @@ class Trainer:
         pending: List[Dict] = []  # in-flight scalar results (device)
         n = 0
         log_tb = tb_step is not None and self.tb is not None
-        for i, frame in enumerate(iter_frames(frames, self.crop_hw)):
+        # crop_hw=None: eval metrics run on the FULL image (_eval_fn ignores
+        # the crop fields), and the train-split-autosized window would fire
+        # spurious "clipped subject" warnings on larger test-view rects
+        for i, frame in enumerate(iter_frames(frames, None)):
             out = self._eval_fn(self.ts.params, self.ts.gstate.valid, frame, deg)
             if log_tb and i < 5:
                 self.tb.image(f"test/view_{i}/render",

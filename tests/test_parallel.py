@@ -86,6 +86,30 @@ class TestShardedStep:
         gb = np.asarray(ts1u.gstate.xyz_grad_accum)
         np.testing.assert_allclose(ga, gb, rtol=1e-3, atol=1e-5)
 
+    def test_densify_stats_per_frame_scale(self, setup):
+        """Densify stats must follow the reference's PER-FRAME accumulation
+        (add_densification_stats, train_ZJU.py:172-174) regardless of n_data:
+        the pmean'd loss scales the dummy grad by 1/n_data, which the step
+        must undo. Same frame on both shards -> accum and denom exactly 2x
+        the single-chip step's."""
+        scene, frames, cfg, p, gstate = setup
+        mesh = make_mesh(2, 4)
+        init_s, step_s = make_sharded_train_step(scene, cfg, mesh, 48, 48)
+        ts0 = TrainState(p, init_s(p), gstate, jnp.asarray(0))
+        ts2, _ = step_s(ts0, stack_frames(frames), jnp.array([0, 0]), 1)
+
+        init_u, step_u = make_train_step(scene, cfg, rasterize_tpu, None, 48, 48)
+        ts0u = TrainState(p, init_u(p), gstate, jnp.asarray(0))
+        ts1u, _ = step_u(ts0u, frames[0], 1)
+
+        np.testing.assert_allclose(
+            np.asarray(ts2.gstate.denom),
+            2.0 * np.asarray(ts1u.gstate.denom), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(ts2.gstate.xyz_grad_accum),
+            2.0 * np.asarray(ts1u.gstate.xyz_grad_accum),
+            rtol=1e-3, atol=1e-5)
+
 
 def test_sharded_gt_lpips_cache_parity(setup):
     """Sharded step with the staged gt LPIPS towers == without (hoisted gt
