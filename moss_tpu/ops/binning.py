@@ -122,8 +122,9 @@ class TileBinning(NamedTuple):
 
     pair_gaussian: (NPAIRS,) int32 — index into the *original* Gaussian arrays
       for each (tile, gaussian) pair, depth-sorted within each tile;
-      NPAIRS = P * max_tiles_per_gaussian. Dead pairs point at index 0 but are
-      excluded by pair_valid.
+      NPAIRS = P * max_tiles_per_gaussian. Dead pairs keep their source
+      Gaussian's index (NOT zeroed — align_binning is what zeroes dead
+      entries); always mask with pair_valid before gathering.
     pair_tile: (NPAIRS,) int32 tile id (= ty * grid_w + tx), dead pairs get
       num_tiles (sorted to the end).
     pair_valid: (NPAIRS,) bool.
@@ -720,6 +721,8 @@ def align_binning(
         pair_tile=tile_of_d,
         tile_start=astart[:num_tiles],
         tile_count=tile_count,
-        num_pairs=jnp.sum(b.pair_valid.astype(jnp.int32)),
+        # post-drop live count, consistent with build_pair_rows (line ~638):
+        # pairs cut by the slot budget are in overflow, not num_pairs
+        num_pairs=jnp.sum(b.pair_valid.astype(jnp.int32)) - budget_overflow,
         overflow=b.overflow + budget_overflow,
     )

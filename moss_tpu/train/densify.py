@@ -23,6 +23,13 @@ TPU every op is a masked compute + scatter into the fixed-capacity arrays:
   6. the reference's 45,695-point cap gates each op on the *current* count
      (:496,:530,:574) — replicated sequentially.
 
+One deliberate divergence: neighbours/KL/curvature are computed ONCE per
+round on the pre-clone cloud (the reference recomputes them inside each op,
+so same-round children can couple into split/merge selection there); see the
+one-pass note at the KNN call. Capacity-forced drops never annihilate points
+(split parents survive unless both children landed) and are all counted in
+stats['dropped_capacity'].
+
 Optimizer moments ride along: appended slots get zeroed Adam state (the
 reference's cat_tensors_to_optimizer zeros, :422-423); surviving rows keep
 theirs in place (no permutation needed — slots are stable).
@@ -116,12 +123,13 @@ def angle_change_mask(xyz, normals, nbr_idx, angle_threshold=0.1, dist_threshold
     return (cnt > 0) & (mean_rate > angle_threshold)
 
 
-def _append_rows(params: GaussianParams, valid, adam_rows, cand: Dict, cand_mask):
+def _append_rows(params: GaussianParams, valid, cand: Dict, cand_mask):
     """Scatter candidate rows (one per existing slot) into free slots.
 
-    adam_rows: list of (mu_leaf_dict, nu_leaf_dict)-like pytrees handled by
-    the caller; here we just return (params, valid, dest, ok) so the caller
-    can zero optimizer rows at dest.
+    Returns (params, valid, dest, ok, dropped): ok marks candidates that
+    landed (capacity permitting — the caller must gate any prune-the-parent
+    logic on it), dest the slot they landed in (P = dropped), dropped the
+    count that did not fit.
     """
     P = valid.shape[0]
     free_order = jnp.argsort(valid)  # stable: invalid slots first
@@ -179,7 +187,14 @@ def densify_and_prune(
     """
     P = params.capacity
     valid = gstate.valid
-    denom0 = jnp.maximum(gstate.denom[0], 1.0)
+    # Fisher/LBS window normalizer. The reference divides by denom[0]
+    # (gaussian_model.py:627) — its row 0 is always a live, near-always-
+    # visible point because prune physically compacts rows. In the static
+    # arena slot 0 can die, which would leave the window sums unnormalized
+    # (divisor clamped to 1); max over slots equals the reference value
+    # whenever any point was visible the whole window and is robust to a
+    # dead slot 0.
+    denom0 = jnp.maximum(jnp.max(gstate.denom), 1.0)
 
     grads = gstate.xyz_grad_accum / jnp.maximum(gstate.denom, 1e-8)
     grads = jnp.where(jnp.isnan(grads) | ~valid, 0.0, grads)
@@ -206,9 +221,17 @@ def densify_and_prune(
     large = ~small
 
     # --- KL against the nearest valid neighbour (:758-814) ---
+    # ONE-PASS APPROXIMATION: neighbours/KL/curvature are computed once on
+    # the pre-clone cloud and reused by clone, split, and merge. The
+    # reference recomputes cal_kl/knn inside each op, so a point appended by
+    # clone can become another point's nearest neighbour within the same
+    # round; here this-round children participate from the NEXT round. This
+    # trades that sequential coupling for a single 46k^2 KNN pass per round
+    # (the dominant densify cost); the merge/split interaction that WOULD
+    # corrupt state (merging with a split-pruned parent) is excluded below.
     far = jnp.where(valid[:, None], params.xyz, 1e6 + jnp.arange(P, dtype=jnp.float32)[:, None])
-    _, nn_ids = knn(far, far, k=2, ref_valid=valid)
-    nb = nn_ids[:, 1]
+    _, nbr5 = knn(far, far, k=5, ref_valid=valid)
+    nb = nbr5[:, 1]  # nearest non-self neighbour (top_k is distance-sorted)
     kl = kl_div_gaussians(
         params.xyz, params.rotation, scaling,
         params.xyz[nb], params.rotation[nb], scaling[nb],
@@ -217,7 +240,6 @@ def densify_and_prune(
     kl_lo = kl < cfg.kl_merge_threshold
 
     # --- curvature mask for clone (:503-509) ---
-    _, nbr5 = knn(far, far, k=5, ref_valid=valid)
     normals = pca_normals(params.xyz, nbr5)
     curv = angle_change_mask(params.xyz, normals, nbr5)
 
@@ -240,7 +262,7 @@ def densify_and_prune(
         "rotation": rotmat_to_quat(rot_gauss) * params.rotation,  # elementwise, as reference
         "opacity": params.opacity,
     }
-    params, valid, dest, ok, drop1 = _append_rows(params, valid, None, cand, clone_mask)
+    params, valid, dest, ok, drop1 = _append_rows(params, valid, cand, clone_mask)
     opt_state = _zero_opt_rows(opt_state, dest, P)
     stats["cloned"] = jnp.sum(ok)
 
@@ -249,7 +271,8 @@ def densify_and_prune(
     enabled = count1 <= POINT_CAP
     split_mask = gstate.valid & grad_hit & large & kl_hi & enabled
     R_old = quat_to_rotmat(params.rotation)
-    prune_split = jnp.zeros((P,), bool)
+    child_ok = split_mask
+    drop_split = jnp.zeros((), jnp.float32)
     for kk in (k2, k3):
         samples = jax.random.normal(kk, (P, 3)) * scaling
         child_xyz = jnp.einsum("nij,nj->ni", R_old, samples) + params.xyz
@@ -261,15 +284,25 @@ def densify_and_prune(
             "rotation": params.rotation,
             "opacity": params.opacity,
         }
-        params, valid, dest, ok, _ = _append_rows(params, valid, None, cand, split_mask)
+        params, valid, dest, ok, dr = _append_rows(params, valid, cand, split_mask)
         opt_state = _zero_opt_rows(opt_state, dest, P)
-    prune_split = split_mask
-    stats["split"] = jnp.sum(split_mask)
+        child_ok = child_ok & ok
+        drop_split = drop_split + dr
+    # a parent is pruned ONLY if both children landed — when the arena is
+    # full, _append_rows drops children, and pruning such a parent would
+    # annihilate the Gaussian instead of splitting it
+    prune_split = child_ok
+    stats["split"] = jnp.sum(child_ok)
 
     # ---------------- merge (:573-619) ----------------
     count2 = jnp.sum(valid)
     enabled = count2 <= POINT_CAP
-    merge_mask = gstate.valid & grad_hit & small & kl_lo & enabled
+    # the partner must not be a this-round split parent: its row is pruned
+    # below, and merging with it would build the merged Gaussian from a
+    # vanishing source (the reference's post-split KNN recompute makes this
+    # impossible there — see the one-pass note above)
+    merge_mask = (gstate.valid & grad_hit & small & kl_lo & enabled
+                  & ~prune_split[nb])
     cand = {
         "xyz": 0.5 * (params.xyz + params.xyz[nb]),
         "f_dc": 0.5 * (params.f_dc + params.f_dc[nb]),
@@ -278,7 +311,7 @@ def densify_and_prune(
         "rotation": params.rotation,
         "opacity": 0.5 * (params.opacity + params.opacity[nb]),
     }
-    params, valid, dest, ok_m, _ = _append_rows(params, valid, None, cand, merge_mask)
+    params, valid, dest, ok_m, drop_m = _append_rows(params, valid, cand, merge_mask)
     opt_state = _zero_opt_rows(opt_state, dest, P)
     # both sources die (the ones whose merge actually landed)
     prune_merge = jnp.zeros((P + 1,), bool).at[jnp.where(ok_m, nb, P)].set(True)[:P]
@@ -290,6 +323,14 @@ def densify_and_prune(
     scaling_now = get_scaling(params)
     prune = opacity < cfg.min_opacity
     if use_size_threshold:
+        # PARITY NOTE: in the reference this branch is effectively dead
+        # whenever densification ran this round — densification_postfix
+        # (gaussian_model.py:454) zeroes max_radii2D before the prune, so
+        # big_points_vs never fires there. With the default schedule
+        # (densify_until 2000 < opacity_reset 4000) use_size_threshold is
+        # False during densification, so behavior matches; a config that
+        # overlaps them makes this port prune on the window max where the
+        # reference would not.
         prune = prune | (gstate.max_radii2d > cfg.max_screen_size)
         prune = prune | (jnp.max(scaling_now, axis=-1) > 0.1 * extent)
     # euclidean 5 cm shell: KNN_CUDA returns sqrt'ed (euclidean) distances
@@ -302,7 +343,8 @@ def densify_and_prune(
     valid = valid & ~prune
 
     stats["count_after"] = jnp.sum(valid)
-    stats["dropped_capacity"] = drop1
+    # every capacity-forced drop, not just clone's — no silent caps
+    stats["dropped_capacity"] = drop1 + drop_split + drop_m
 
     new_gstate = GaussianState(
         valid=valid,

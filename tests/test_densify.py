@@ -75,7 +75,7 @@ class TestAppend:
         # 6 candidates for 4 free slots -> 2 dropped
         cand_mask = jnp.asarray(np.array([True] * 6 + [False] * 10))
         new_params, new_valid, dest, ok, dropped = _append_rows(
-            params, valid, None, cand, cand_mask
+            params, valid, cand, cand_mask
         )
         assert int(dropped) == 2
         assert int(new_valid.sum()) == 16
@@ -177,3 +177,42 @@ class TestDensifyIntegration:
         # stats were reset
         assert float(out_state.xyz_grad_accum.sum()) == 0.0
         assert float(out_state.denom.sum()) == 0.0
+
+
+class TestSplitCapacitySafety:
+    def test_split_parents_survive_full_arena(self, rng):
+        """When the arena has no free slots, split children are dropped — the
+        parents must NOT be pruned (pruning them would annihilate Gaussians
+        instead of splitting; the reference never loses points here because
+        its tensors grow dynamically)."""
+        import dataclasses
+
+        import optax
+
+        P = 64
+        pts = rng.normal(0, 0.3, (P, 3)).astype(np.float32)  # arena FULL
+        colors = rng.uniform(size=(P, 3)).astype(np.float32)
+        params, gstate = create_from_points(pts, colors, capacity=P)
+        # huge scales -> everyone is a split candidate (large & grad hit)
+        params = dataclasses.replace(
+            params, scaling=jnp.full((P, 3), jnp.log(10.0)))
+        gstate = dataclasses.replace(
+            gstate,
+            xyz_grad_accum=jnp.full((P,), 10.0),
+            denom=jnp.full((P,), 10.0),
+            joint_F=jnp.tile(jnp.eye(3)[None], (23, 1, 1)) * 5.0,
+            lbs_weight_sum=jnp.ones((P, 24)) * 10.0,
+        )
+        opt = optax.adam(1e-3)
+        cfg = OptimConfig(smpl_dist_threshold=1e9, kl_threshold=-1.0,
+                          kl_merge_threshold=-2.0)  # all split, none merge
+        out_params, out_state, _, stats = densify_and_prune(
+            params, gstate, opt.init(params), jax.random.PRNGKey(0), cfg,
+            extent=100.0, t_vertices=jnp.asarray(pts),
+            use_size_threshold=False,
+        )
+        # zero free slots: no children landed, so no parent may be pruned
+        # (and nothing else prunes: opacity init > min, size prune off)
+        assert int(stats["split"]) == 0
+        assert int(stats["dropped_capacity"]) > 0
+        assert int(out_state.num_valid) == P
