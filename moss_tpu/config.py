@@ -17,6 +17,11 @@ class ModelConfig:
     smpl_type: str = "smpl"            # 'smpl' | 'smplx'
     actor_gender: str = "neutral"
     motion_offset: bool = True          # --motion_offset_flag
+    # vanilla-3DGS mode for COLMAP/Blender scenes: no body model, no deform
+    # chain, vanilla clone/split densify (reference densify_and_clone/split,
+    # gaussian_model.py:456-494), no SMPL-distance prune. Requires
+    # motion_offset=False.
+    static_scene: bool = False
     white_background: bool = False
     # static Gaussian capacity; the reference caps densification at 45,695
     # points (gaussian_model.py:496) — we round up to a lane-aligned 46,080

@@ -255,3 +255,60 @@ def read_blender_scene(path: str, split: str = "train", white_background=False):
             "white_background": white_background,
         })
     return specs
+
+
+def static_scene_context(points):
+    """SceneContext for a static (no-body) scene: the sparse point cloud
+    stands in for big_pose_vertices (it seeds the Gaussian init; nothing else
+    reads the body fields when cfg.model.static_scene is set)."""
+    from ..render.render import SceneContext
+
+    import jax.numpy as jnp
+
+    return SceneContext(
+        smpl=None, big_pose_params=None,
+        big_pose_vertices=jnp.asarray(np.asarray(points, np.float32)),
+    )
+
+
+def frame_from_spec(spec: Dict, white_background: bool = False):
+    """Build a training Frame from a read_colmap_scene / read_blender_scene
+    spec: image decoded here (PNG alpha composited onto the background like
+    PILtoTorch + the reader's bg blend, dataset_readers.py:262-270), masks
+    all-ones (static scenes have no subject masks — use w_mask=0), SMPL
+    fields zeroed (ignored by render_frame(static_scene=True) and by the
+    losses: pose_out is None so the Fisher NLL is zero)."""
+    import imageio.v2 as imageio
+    import jax.numpy as jnp
+
+    from ..render.camera import Camera
+    from .frames import Frame
+
+    img = np.asarray(imageio.imread(spec["image_path"]), np.float32) / 255.0
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=2)
+    if img.shape[2] == 4:
+        a = img[..., 3:4]
+        bg = 1.0 if (white_background or spec.get("white_background")) else 0.0
+        img = img[..., :3] * a + bg * (1.0 - a)
+    H, W = img.shape[:2]
+    if "K" in spec:
+        K = spec["K"]
+    else:  # Blender spec: fov -> pinhole K
+        fx = fy = 0.5 * W / np.tan(0.5 * spec["fovx"])
+        K = np.array([[fx, 0, W / 2], [0, fy, H / 2], [0, 0, 1.0]])
+    # from_KRT takes R in the reference's TRANSPOSED storage convention
+    # (world_to_view re-transposes, graphics_utils.py:32-37)
+    camera = Camera.from_KRT(K, spec["R_w2c"].T, spec["T_w2c"][:, 0], H, W)
+    ones = jnp.ones((H, W), jnp.float32)
+    return Frame(
+        camera=camera,
+        image=jnp.asarray(img[..., :3]),
+        bkgd_mask=ones,
+        bound_mask=ones,
+        poses=jnp.zeros((1, 72)), shapes=jnp.zeros((1, 10)),
+        R=jnp.eye(3), Th=jnp.zeros((1, 3)),
+        pose_rotmats=jnp.zeros((23, 3, 3)),
+        crop_y0=jnp.zeros((), jnp.int32), crop_x0=jnp.zeros((), jnp.int32),
+        pose_id=jnp.zeros((), jnp.int32),
+    )

@@ -44,7 +44,11 @@ def inv3x3(M, eps: float = 1e-12):
     B = -(d * i - f * g)
     C = d * h - e * g
     det = a * A + b * B + c * C
-    inv_det = 1.0 / jnp.where(jnp.abs(det) > eps, det, eps)
+    # sign-preserving clamp: det in (-eps, 0] must clamp to -eps, not +eps
+    # (a +eps fallback silently MIRRORS the inverse for near-singular
+    # negative-det blends instead of blowing up loudly)
+    safe = jnp.where(det < 0, -eps, eps)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > eps, det, safe)
     adj = jnp.stack(
         [
             A, -(b * i - c * h), (b * f - c * e),
@@ -63,7 +67,11 @@ def _inv3x3c(a, b, c, d, e, f, g, h, i, eps: float = 1e-12):
     B = -(d * i - f * g)
     C = d * h - e * g
     det = a * A + b * B + c * C
-    inv_det = 1.0 / jnp.where(jnp.abs(det) > eps, det, eps)
+    # sign-preserving clamp: det in (-eps, 0] must clamp to -eps, not +eps
+    # (a +eps fallback silently MIRRORS the inverse for near-singular
+    # negative-det blends instead of blowing up loudly)
+    safe = jnp.where(det < 0, -eps, eps)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > eps, det, safe)
     return (
         A * inv_det, -(b * i - c * h) * inv_det, (b * f - c * e) * inv_det,
         B * inv_det, (a * i - c * g) * inv_det, -(a * f - c * d) * inv_det,

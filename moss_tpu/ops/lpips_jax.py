@@ -200,8 +200,12 @@ def _maxpool2(h):
 
 
 def _norm_input(im):
-    x = im * 2.0 - 1.0
-    return (x - _SHIFT) / _SCALE
+    # The reference calls pip lpips with the DEFAULT normalize=False
+    # (train_ZJU.py:121 `loss_fn_vgg(img_pred, img_gt)`): the [0,1] images go
+    # straight into the ScalingLayer with NO [-1,1] shift. Reproducing that
+    # as-executed behavior is required for its committed LPIPS numbers
+    # (result/ZJU.txt) to be comparable — do not "fix" this to 2*im-1.
+    return (im - _SHIFT) / _SCALE
 
 
 def gt_features(params: Dict, img, dtype=jnp.bfloat16) -> List[jnp.ndarray]:

@@ -171,6 +171,90 @@ def _zero_opt_rows(opt_state, dest, capacity: int):
 
 
 @partial(jax.jit, static_argnames=("cfg", "use_size_threshold"))
+def densify_and_prune_static(
+    params: GaussianParams,
+    gstate: GaussianState,
+    opt_state,
+    key,
+    cfg: OptimConfig,
+    extent,
+    use_size_threshold: bool,
+):
+    """Vanilla 3DGS densification for static (COLMAP/Blender) scenes.
+
+    The reference ships — unused by its human trainers — the original 3DGS
+    densify_and_clone (gaussian_model.py:481-494) and densify_and_split
+    (:456-479); this is their static-capacity counterpart: clone = exact
+    copy of small high-grad points, split = 2 children sampled from
+    N(0, scale) rotated into the parent frame with scale/(0.8*2), prune =
+    opacity/screen-size/world-size only (no KL, no Fisher fields, no merge,
+    no SMPL-distance shell). Returns (params, gstate, opt_state, stats).
+    """
+    P = params.capacity
+    valid = gstate.valid
+    grads = gstate.xyz_grad_accum / jnp.maximum(gstate.denom, 1e-8)
+    grads = jnp.where(jnp.isnan(grads) | ~valid, 0.0, grads)
+
+    scaling = get_scaling(params)
+    max_scale = jnp.max(scaling, axis=-1)
+    grad_hit = grads >= cfg.densify_grad_threshold
+    small = max_scale <= cfg.percent_dense * extent
+
+    stats = {"count_before": jnp.sum(valid)}
+
+    # clone (:481-494): exact copies
+    clone_mask = valid & grad_hit & small
+    cand = {
+        "xyz": params.xyz, "f_dc": params.f_dc, "f_rest": params.f_rest,
+        "scaling": params.scaling, "rotation": params.rotation,
+        "opacity": params.opacity,
+    }
+    params, valid, dest, ok, drop1 = _append_rows(params, valid, cand, clone_mask)
+    opt_state = _zero_opt_rows(opt_state, dest, P)
+    stats["cloned"] = jnp.sum(ok)
+
+    # split (:456-479): N=2 children, prune parent only if both landed
+    split_mask = gstate.valid & grad_hit & ~small
+    R_old = quat_to_rotmat(params.rotation)
+    k1, k2, key = jax.random.split(key, 3)
+    child_ok = split_mask
+    drop_split = jnp.zeros((), jnp.int32)
+    for kk in (k1, k2):
+        samples = jax.random.normal(kk, (P, 3)) * scaling
+        cand = {
+            "xyz": jnp.einsum("nij,nj->ni", R_old, samples) + params.xyz,
+            "f_dc": params.f_dc, "f_rest": params.f_rest,
+            "scaling": jnp.log(jnp.maximum(scaling / (0.8 * 2), 1e-12)),
+            "rotation": params.rotation, "opacity": params.opacity,
+        }
+        params, valid, dest, ok, dr = _append_rows(params, valid, cand, split_mask)
+        opt_state = _zero_opt_rows(opt_state, dest, P)
+        child_ok = child_ok & ok
+        drop_split = drop_split + dr
+    stats["split"] = jnp.sum(child_ok)
+
+    # prune (:650-655, minus the SMPL shell)
+    opacity = jax.nn.sigmoid(params.opacity[:, 0])
+    prune = opacity < cfg.min_opacity
+    if use_size_threshold:
+        prune = prune | (gstate.max_radii2d > cfg.max_screen_size)
+        prune = prune | (jnp.max(get_scaling(params), axis=-1) > 0.1 * extent)
+    valid = valid & ~(prune | child_ok)
+
+    stats["count_after"] = jnp.sum(valid)
+    stats["dropped_capacity"] = drop1 + drop_split
+    new_gstate = GaussianState(
+        valid=valid,
+        max_radii2d=jnp.zeros((P,), jnp.float32),
+        xyz_grad_accum=jnp.zeros((P,), jnp.float32),
+        denom=jnp.zeros((P,), jnp.float32),
+        joint_F=jnp.zeros((23, 3, 3), jnp.float32),
+        lbs_weight_sum=jnp.zeros((P, 24), jnp.float32),
+    )
+    return params, new_gstate, opt_state, stats
+
+
+@partial(jax.jit, static_argnames=("cfg", "use_size_threshold"))
 def densify_and_prune(
     params: GaussianParams,
     gstate: GaussianState,

@@ -71,20 +71,26 @@ def compute_losses(
     ssim_val = ssim_fn(img_c, gt_c)
     s3im_loss = s3im_fn(img_c, gt_c)
 
-    if lpips_params is None:
-        lpips_params = lpips_jax.get_default_params()
-    # bf16 activations in the TRAINING loss only (eval metrics stay f32):
-    # v5e convs already run f32 inputs at bf16 MXU precision, so this halves
-    # HBM traffic of the memory-bound VGG stages without changing compute
-    # precision class (see lpips_jax.lpips docstring; tolerance test in
-    # tests/test_losses_parity.py).
-    # gt_lpips_feats: precomputed gt tower (lpips_jax.gt_features) staged
-    # once per frame by the Trainer — the gt image is constant across the
-    # run, so its VGG forward need not be recomputed every step
-    lpips_loss = lpips_jax.lpips(
-        lpips_params, img_c, gt_c, dtype=jnp.bfloat16,
-        cached_f2=gt_lpips_feats,
-    )
+    if weights.lpips != 0.0:
+        if lpips_params is None:
+            lpips_params = lpips_jax.get_default_params()
+        # bf16 activations in the TRAINING loss only (eval metrics stay f32):
+        # v5e convs already run f32 inputs at bf16 MXU precision, so this
+        # halves HBM traffic of the memory-bound VGG stages without changing
+        # compute precision class (see lpips_jax.lpips docstring; tolerance
+        # test in tests/test_losses_parity.py).
+        # gt_lpips_feats: precomputed gt tower (lpips_jax.gt_features) staged
+        # once per frame by the Trainer — the gt image is constant across the
+        # run, so its VGG forward need not be recomputed every step
+        lpips_loss = lpips_jax.lpips(
+            lpips_params, img_c, gt_c, dtype=jnp.bfloat16,
+            cached_f2=gt_lpips_feats,
+        )
+    else:
+        # weights.lpips is a static python float: gate at trace time so a
+        # w_lpips=0 config doesn't pay both VGG towers fwd+bwd (~7.5 ms/step,
+        # the single largest loss-term cost) multiplied by zero
+        lpips_loss = jnp.zeros(())
 
     pose_out = render_out.get("pose_out")
     if pose_out is not None:

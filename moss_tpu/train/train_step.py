@@ -74,6 +74,7 @@ def make_train_step(
                 frame.smpl_params, cam, bg, cfg.model.sh_degree,
                 rasterize_fn=rasterize_fn, mean2d_offset=mean2d_offset,
                 motion_offset=cfg.model.motion_offset, active_sh=sh_degree,
+                static_scene=cfg.model.static_scene,
             )
             total, logs = compute_losses(
                 out, frame.image, frame.bkgd_mask, frame.bound_mask,
@@ -141,8 +142,6 @@ def active_sh_degree(step, max_degree: int):
     degree as a runtime value)."""
     if isinstance(step, int):
         return min(step // 1000, max_degree)
-    import jax.numpy as jnp
-
     return jnp.minimum(step // 1000, max_degree)
 
 
@@ -170,6 +169,10 @@ def make_train_many(step_fn):
 
         ts, logs_seq = jax.lax.scan(body, ts, order)
         last_logs = jax.tree.map(lambda x: x[-1], logs_seq)
+        # 'no silent caps': a mid-chunk frame can overflow the pair budget
+        # while the last one doesn't — report the chunk TOTAL, not a sample
+        if "raster_overflow" in logs_seq:
+            last_logs["raster_overflow"] = jnp.sum(logs_seq["raster_overflow"])
         return ts, last_logs
 
     return many_fn

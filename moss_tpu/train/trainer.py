@@ -29,7 +29,7 @@ from ..ops.ssim import psnr as psnr_fn
 from ..ops.ssim import ssim as ssim_fn
 from ..render.render import SceneContext, render_frame
 from . import checkpoint as ckpt
-from .densify import densify_and_prune
+from .densify import densify_and_prune, densify_and_prune_static
 from .train_step import TrainState, active_sh_degree, make_train_step
 
 
@@ -116,6 +116,14 @@ class Trainer:
         self.crop_hw = crop_hw
         self.lpips_params = lpips_jax.get_default_params()
 
+        if cfg.model.static_scene:
+            assert not cfg.model.motion_offset, (
+                "static_scene has no body model — set motion_offset=False"
+            )
+            assert mesh is None, (
+                "static_scene multi-chip training is not wired yet (the "
+                "sharded step is built for the deform path)"
+            )
         key = jax.random.PRNGKey(cfg.seed)
         self.key, k_init = jax.random.split(key)
         params, gstate, mlps = init_gaussians_and_mlps(scene, cfg, k_init)
@@ -179,6 +187,7 @@ class Trainer:
                     frame.smpl_params, frame.camera, bg,
                     self.cfg.model.sh_degree, rasterize_fn=nf,
                     motion_offset=self.cfg.model.motion_offset,
+            static_scene=self.cfg.model.static_scene,
                 )
                 return out["need"]
 
@@ -222,6 +231,7 @@ class Trainer:
                 params["gauss"], valid, params.get("mlps"), self.scene,
                 frame.smpl_params, frame.camera, bg, self.cfg.model.sh_degree,
                 rasterize_fn=nf, motion_offset=self.cfg.model.motion_offset,
+            static_scene=self.cfg.model.static_scene,
             )
             return out["need"]
 
@@ -309,7 +319,8 @@ class Trainer:
                 params["gauss"], valid, params.get("mlps"), self.scene,
                 frame.smpl_params, frame.camera, bg, self.cfg.model.sh_degree,
                 rasterize_fn=self.rasterize_fn,
-                motion_offset=self.cfg.model.motion_offset, active_sh=sh_degree,
+                motion_offset=self.cfg.model.motion_offset,
+            static_scene=self.cfg.model.static_scene, active_sh=sh_degree,
             )
             img = jnp.clip(out["render"], 0.0, 1.0)
             gt = jnp.clip(frame.image, 0.0, 1.0)
@@ -480,8 +491,18 @@ class Trainer:
             for bound in self._host_boundaries(iters, eval_iters):
                 if bound > prev:
                     logs = None
+                    ovf = None  # device-side chunk total — no silent caps:
+                    # the boundary step's logs alone would only SAMPLE the
+                    # overflow counter; a mid-chunk frame can drop pairs
+                    # while the boundary frame doesn't
                     for it in range(prev + 1, bound + 1):
                         logs = dispatch(it)
+                        o = logs.get("raster_overflow")
+                        if o is not None:
+                            ovf = o if ovf is None else ovf + o
+                    if ovf is not None:
+                        logs = dict(logs)
+                        logs["raster_overflow"] = ovf
                     host_work(bound, logs)
                     prev = bound
         else:
@@ -495,10 +516,18 @@ class Trainer:
         cfg = self.cfg
         self.key, k = jax.random.split(self.key)
         use_size = it > cfg.optim.opacity_reset_interval
-        params, gstate, opt_state, stats = densify_and_prune(
-            self.ts.params["gauss"], self.ts.gstate, self.ts.opt_state, k,
-            cfg.optim, self.extent, self.scene.big_pose_vertices, use_size,
-        )
+        if cfg.model.static_scene:
+            # vanilla 3DGS densify: no KL/Fisher/merge, no SMPL shell
+            params, gstate, opt_state, stats = densify_and_prune_static(
+                self.ts.params["gauss"], self.ts.gstate, self.ts.opt_state,
+                k, cfg.optim, self.extent, use_size,
+            )
+        else:
+            params, gstate, opt_state, stats = densify_and_prune(
+                self.ts.params["gauss"], self.ts.gstate, self.ts.opt_state,
+                k, cfg.optim, self.extent, self.scene.big_pose_vertices,
+                use_size,
+            )
         new_params = dict(self.ts.params)
         new_params["gauss"] = params
         self.ts = TrainState(new_params, opt_state, gstate, self.ts.step)
@@ -525,6 +554,7 @@ class Trainer:
             self.ts.params.get("mlps"), self.scene, frame.smpl_params,
             cam, bg, self.cfg.model.sh_degree, rasterize_fn=self.rasterize_fn,
             motion_offset=self.cfg.model.motion_offset,
+            static_scene=self.cfg.model.static_scene,
             scaling_modifier=float(spec.get("scale_modifier", 1.0)),
         )
         return np.asarray(out["render"])
@@ -537,6 +567,7 @@ class Trainer:
             self.ts.params.get("mlps"), self.scene, frame.smpl_params,
             frame.camera, bg, deg, rasterize_fn=self.rasterize_fn,
             motion_offset=self.cfg.model.motion_offset,
+            static_scene=self.cfg.model.static_scene,
         )
 
     def evaluate(self, frames=None, tb_step: Optional[int] = None) -> Dict:

@@ -52,7 +52,9 @@ def torch_lpips_replica(params, im1_t, im2_t):
     scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
 
     def norm_in(x):
-        return (x * 2.0 - 1.0 - shift) / scale
+        # pip lpips default normalize=False (the reference's call form):
+        # [0,1] inputs hit the ScalingLayer with no [-1,1] shift
+        return (x - shift) / scale
 
     def features(x):
         feats = []

@@ -1,0 +1,134 @@
+"""Static-scene (vanilla 3DGS, COLMAP/Blender) training path.
+
+The reference carries the original 3DGS densify_and_clone/split
+(gaussian_model.py:456-494) and the Colmap/Blender readers but no runnable
+static training loop (its losses hard-require the human datasets' masks and
+SMPL fields); moss-tpu wires the path for real: Config(static_scene=True) +
+frames with all-ones masks trains through the standard Trainer with the
+vanilla densifier.
+"""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from moss_tpu.config import Config, ModelConfig, OptimConfig
+from moss_tpu.data.colmap import static_scene_context
+from moss_tpu.data.frames import Frame
+from moss_tpu.data.synthetic import make_camera
+from moss_tpu.train.trainer import Trainer
+
+
+def _static_frame(camera, image):
+    H, W = image.shape[:2]
+    ones = jnp.ones((H, W), jnp.float32)
+    return Frame(
+        camera=camera, image=jnp.asarray(image),
+        bkgd_mask=ones, bound_mask=ones,
+        poses=jnp.zeros((1, 72)), shapes=jnp.zeros((1, 10)),
+        R=jnp.eye(3), Th=jnp.zeros((1, 3)),
+        pose_rotmats=jnp.zeros((23, 3, 3)),
+        crop_y0=jnp.zeros((), jnp.int32), crop_x0=jnp.zeros((), jnp.int32),
+        pose_id=jnp.zeros((), jnp.int32),
+    )
+
+
+@pytest.fixture(scope="module")
+def static_setup():
+    """Ground-truth images rendered from a known random cloud; training
+    starts from the cloud's POSITIONS with random colors (the COLMAP-points
+    init) and must recover the appearance."""
+    from moss_tpu.ops.rasterize_ref import rasterize_reference
+    from moss_tpu.ops.projection import preprocess
+    from moss_tpu.ops import transforms as tf
+    from moss_tpu.models import gaussians as G
+
+    rng = np.random.default_rng(7)
+    n = 160
+    pts = rng.normal(0.0, 0.25, (n, 3)).astype(np.float32) + [0, 0, 2.0]
+    colors = rng.uniform(0.2, 0.9, (n, 3)).astype(np.float32)
+    scales = rng.uniform(0.02, 0.05, (n, 3)).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    cov3d = tf.build_covariance(jnp.asarray(scales), jnp.asarray(quats))
+    opac = jnp.full((n,), 0.85)
+
+    frames = []
+    for ang in (0.0, 0.35, -0.35, 0.7):
+        cam = make_camera(H=96, W=128, dist=2.0, angle=ang)
+        # cameras in synthetic look at the origin; shift the cloud instead
+        proj = preprocess(jnp.asarray(pts - [0, 0, 2.0]), cov3d,
+                          jnp.asarray(colors), opac, cam)
+        out = rasterize_reference(proj, jnp.zeros(3), cam.height, cam.width)
+        frames.append(_static_frame(cam, np.asarray(out["color"])))
+    return pts - [0, 0, 2.0], frames
+
+
+class TestStaticSceneTraining:
+    def test_trains_and_improves(self, static_setup):
+        pts, frames = static_setup
+        cfg = Config(
+            model=ModelConfig(sh_degree=1, capacity=512, n_init_points=160,
+                              motion_offset=False, static_scene=True),
+            optim=OptimConfig(
+                iterations=60, w_mask=0.0, w_nll=0.0, w_lpips=0.0,
+                w_s3im=0.0, densify_from_iter=10, densify_until_iter=50,
+                densification_interval=20, densify_grad_threshold=1e-5,
+            ),
+        )
+        scene = static_scene_context(pts)
+        tr = Trainer(scene, frames[:3], frames[3:], cfg, crop_hw=(64, 64),
+                     extent=2.0)
+        before = tr.evaluate(frames[3:])
+        tr.train(60, eval_iters=[])
+        after = tr.evaluate(frames[3:])
+        assert np.isfinite(after["psnr"])
+        assert after["psnr"] > before["psnr"] + 1.0
+        # the vanilla densifier ran (clone/split happened or at least
+        # executed without touching Fisher fields)
+        assert int(tr.ts.gstate.num_valid) >= 160
+
+    def test_motion_offset_rejected(self, static_setup):
+        pts, frames = static_setup
+        cfg = Config(model=ModelConfig(
+            sh_degree=1, capacity=256, n_init_points=160,
+            motion_offset=True, static_scene=True))
+        with pytest.raises(AssertionError):
+            Trainer(static_scene_context(pts), frames[:1], frames[1:], cfg,
+                    crop_hw=(64, 64))
+
+
+class TestFrameFromSpec:
+    def test_colmap_spec_roundtrip(self, tmp_path):
+        import imageio.v2 as imageio
+
+        from moss_tpu.data.colmap import frame_from_spec
+
+        img = (np.random.default_rng(0).uniform(0, 1, (32, 48, 3)) * 255
+               ).astype(np.uint8)
+        p = tmp_path / "img.png"
+        imageio.imwrite(p, img)
+        K = np.array([[50.0, 0, 24], [0, 50.0, 16], [0, 0, 1]])
+        spec = {"K": K, "R_w2c": np.eye(3), "T_w2c": np.zeros((3, 1)),
+                "image_path": str(p), "width": 48, "height": 32}
+        f = frame_from_spec(spec)
+        assert f.camera.height == 32 and f.camera.width == 48
+        np.testing.assert_allclose(np.asarray(f.image), img / 255.0,
+                                   atol=1e-3)
+        assert float(f.bound_mask.min()) == 1.0
+
+    def test_blender_spec_alpha_composite(self, tmp_path):
+        import imageio.v2 as imageio
+
+        from moss_tpu.data.colmap import frame_from_spec
+
+        rgba = np.zeros((16, 16, 4), np.uint8)
+        rgba[..., 0] = 200
+        rgba[..., 3] = 0  # fully transparent -> background
+        p = tmp_path / "a.png"
+        imageio.imwrite(p, rgba)
+        spec = {"R_w2c": np.eye(3), "T_w2c": np.zeros((3, 1)),
+                "image_path": str(p), "fovx": 0.8, "white_background": True}
+        f = frame_from_spec(spec)
+        np.testing.assert_allclose(np.asarray(f.image), 1.0, atol=1e-3)
