@@ -302,6 +302,7 @@ class _PairKeys(NamedTuple):
     total_live: jnp.ndarray       # () live pairs before the NPb budget cut
     budget_overflow: jnp.ndarray  # () pairs dropped by the NPb cut
     rect_overflow: jnp.ndarray    # () tiles dropped by the per-Gaussian budget
+    max_rect: jnp.ndarray         # () max tiles touched by one Gaussian (pre-cap)
 
 
 def _pair_keys(mean2d, conic, opacity, depth, radius, valid,
@@ -347,6 +348,7 @@ def _pair_keys(mean2d, conic, opacity, depth, radius, valid,
     n_x = max_x - min_x
     n_tiles = n_x * (max_y - min_y)
     rect_overflow = jnp.sum(jnp.where(valid, jnp.maximum(n_tiles - B, 0), 0))
+    max_rect = jnp.max(jnp.where(valid, n_tiles, 0))
 
     # 3. packed keys, one sort — all pair-table math in the TRANSPOSED (B, P)
     # layout: (P, B=16) arrays lower to minor-dim-16 vectors (7/8 of every
@@ -432,7 +434,7 @@ def _pair_keys(mean2d, conic, opacity, depth, radius, valid,
     dims = (grid_h, grid_w_sup, grid_w, num_tiles, num_super, tile_w, KB,
             NPb, B)
     return _PairKeys(order, keys_b, t_start, tile_count, total_live,
-                     budget_overflow, rect_overflow), dims
+                     budget_overflow, rect_overflow, max_rect), dims
 
 
 def measure_slot_need(mean2d, conic, opacity, depth, radius, valid,
@@ -460,7 +462,18 @@ def measure_slot_need(mean2d, conic, opacity, depth, radius, valid,
     counts_sg = keys.tile_count.reshape(num_super, groups)
     n_chunks_s = (jnp.max(counts_sg, axis=1) + align - 1) // align
     need = jnp.sum(n_chunks_s) * groups * align
-    return {"need": need, "live": jnp.sum(keys.tile_count), "npb": NPb}
+    return {
+        "need": need,
+        "live": jnp.sum(keys.tile_count),
+        "npb": NPb,
+        # exact pre-truncation stats for sizing the OTHER two static budgets
+        # (probe with pair_budget = P * max_tiles to make `need`/`total_live`
+        # themselves exact): total_live sizes pair_budget (NPb); max_rect is
+        # the max tiles one Gaussian touches and sizes max_tiles_per_gaussian
+        "total_live": keys.total_live,
+        "max_rect": keys.max_rect,
+        "rect_overflow": keys.rect_overflow,
+    }
 
 
 def build_pair_rows(

@@ -52,7 +52,8 @@ def make_mesh(n_data: int, n_tile: int, devices=None) -> Mesh:
     return Mesh(dev, ("data", "tile"))
 
 
-def band_rasterize_fn(n_tile: int, axis: str = "tile", slot_budget: int = 0) -> Callable:
+def band_rasterize_fn(n_tile: int, axis: str = "tile", slot_budget: int = 0,
+                      pair_budget: int = 0, max_tiles: int = 16) -> Callable:
     """A rasterize_fn for render_frame that renders this device's pixel band.
 
     Must run inside shard_map over `axis`. The band y-origin comes from the
@@ -71,6 +72,8 @@ def band_rasterize_fn(n_tile: int, axis: str = "tile", slot_budget: int = 0) -> 
         shift = jnp.stack([jnp.zeros_like(y0), y0])
         proj_local = proj._replace(mean2d=proj.mean2d - shift[None, :])
         out = rt.rasterize_tpu(proj_local, bg_color, hb, width,
+                               max_tiles_per_gaussian=max_tiles,
+                               pair_budget=pair_budget,
                                slot_budget=slot_budget)
         full = {
             k: jax.lax.all_gather(v, axis, axis=0, tiled=True)
@@ -101,6 +104,8 @@ def make_sharded_train_step(
     lpips_params=None,
     spatial_lr_scale: float = 1.0,
     slot_budget: int = 0,
+    pair_budget: int = 0,
+    max_tiles: int = 16,
 ):
     """Build (init_fn, step_fn) for multi-chip training over a frame batch.
 
@@ -122,7 +127,8 @@ def make_sharded_train_step(
     )
     bg = jnp.ones(3) if cfg.model.white_background else jnp.zeros(3)
     n_data, n_tile = mesh.shape["data"], mesh.shape["tile"]
-    raster = band_rasterize_fn(n_tile, slot_budget=slot_budget)
+    raster = band_rasterize_fn(n_tile, slot_budget=slot_budget,
+                               pair_budget=pair_budget, max_tiles=max_tiles)
 
     def init_fn(params):
         return optimizer.init(params)
@@ -156,6 +162,7 @@ def make_sharded_train_step(
                 frame.smpl_params, frame.camera, bg, cfg.model.sh_degree,
                 rasterize_fn=raster, mean2d_offset=dummy_shard[0],  # (P, 2)
                 motion_offset=cfg.model.motion_offset, active_sh=sh_deg,
+                static_scene=cfg.model.static_scene,
             )
             total, logs = compute_losses(
                 out, frame.image, frame.bkgd_mask, frame.bound_mask,

@@ -205,9 +205,9 @@ class TestShardedTrainerLoop:
         cfg = Config(model=ModelConfig(sh_degree=1, capacity=384, n_init_points=150))
         mesh = make_mesh(1, 4)
         tr = Trainer(scene, frames, frames, cfg, crop_hw=(32, 32), mesh=mesh)
-        band_need = tr._probe_band_slot_need(frames[0])
+        band_need = int(tr._probe_slot_need(frames[0], 16)[0])
 
         tr_single = Trainer(scene, frames, frames, cfg, crop_hw=(32, 32))
-        full_need = tr_single._probe_slot_need(frames[0])
+        full_need = int(tr_single._probe_slot_need(frames[0], 16)[0])
         assert band_need >= full_need // 4 - 64
         assert band_need <= full_need + 64
