@@ -44,3 +44,101 @@ def restore_checkpoint(path: str, template) -> Any:
     return jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(template), leaves
     )
+
+
+# ---------------------------------------------------------------------------
+# Reference artifact layout
+# (scene/__init__.py:109-123: point_cloud/iteration_N/point_cloud.ply +
+#  mlp_ckpt/iteration_N/ckpt.pth) — written alongside chkpnt{N}.npz so
+# external 3DGS tooling that walks the per-iteration directory tree finds
+# the cloud, and reference-style outputs can be loaded back for rendering.
+
+def save_reference_layout(model_path: str, iteration: int, ts) -> None:
+    """Write the live cloud as point_cloud/iteration_{N}/point_cloud.ply and
+    the deformation MLPs (the reference's Autoregression +
+    CrossAttention_lbs state dicts) as mlp_ckpt/iteration_{N}/ckpt.npz."""
+    from ..data.ply import save_ply
+
+    g = ts.params["gauss"]
+    valid = np.asarray(ts.gstate.valid)
+    pc_dir = os.path.join(model_path, "point_cloud", f"iteration_{iteration}")
+    os.makedirs(pc_dir, exist_ok=True)
+    save_ply(
+        os.path.join(pc_dir, "point_cloud.ply"),
+        np.asarray(g.xyz)[valid], np.asarray(g.f_dc)[valid],
+        np.asarray(g.f_rest)[valid], np.asarray(g.opacity)[valid],
+        np.asarray(g.scaling)[valid], np.asarray(g.rotation)[valid],
+    )
+    mlps = ts.params.get("mlps")
+    if mlps is not None:
+        mlp_dir = os.path.join(model_path, "mlp_ckpt", f"iteration_{iteration}")
+        os.makedirs(mlp_dir, exist_ok=True)
+        flat = _flatten(mlps)
+        flat["iter"] = np.asarray(iteration)
+        np.savez_compressed(os.path.join(mlp_dir, "ckpt.npz"), **flat)
+
+
+def load_reference_layout(model_path: str, iteration: int, ts) -> Any:
+    """Rebuild a TrainState's params/valid-mask from the reference directory
+    layout (the inverse of save_reference_layout; also reads clouds written
+    by the reference's own save_ply — data/ply.py is format-compatible).
+
+    The PLY holds only live rows: they are padded back into the template's
+    static capacity (dead slots parked at z=-1e6 / opacity -15, exactly the
+    create_from_points convention). Optimizer state is re-initialized — this
+    layout, like the reference's, carries no Adam moments; use chkpnt{N}.npz
+    for exact training resume."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from ..data.ply import load_ply
+
+    pc = load_ply(os.path.join(model_path, "point_cloud",
+                               f"iteration_{iteration}", "point_cloud.ply"))
+    g = ts.params["gauss"]
+    P = g.capacity
+    n = pc["xyz"].shape[0]
+    if n > P:
+        raise ValueError(f"PLY has {n} points > template capacity {P}")
+    k_rest = g.f_rest.shape[1]
+    if pc["f_rest"].shape[1] != k_rest:
+        raise ValueError(
+            f"PLY SH degree mismatch: {pc['f_rest'].shape[1]} rest "
+            f"coefficients vs template {k_rest}")
+
+    def pad(x, fill):
+        out = np.full((P,) + x.shape[1:], fill, np.float32)
+        out[:n] = x
+        return jnp.asarray(out)
+
+    new_g = dataclasses.replace(
+        g,
+        xyz=pad(pc["xyz"], 0.0).at[n:].set(jnp.array([0.0, 0.0, -1e6])),
+        f_dc=pad(pc["f_dc"], 0.0), f_rest=pad(pc["f_rest"], 0.0),
+        opacity=pad(pc["opacity"], -15.0), scaling=pad(pc["scaling"], -10.0),
+        rotation=pad(pc["rotation"], 0.0).at[n:, 0].set(1.0),
+    )
+    params = dict(ts.params)
+    params["gauss"] = new_g
+    mlp_path = os.path.join(model_path, "mlp_ckpt", f"iteration_{iteration}",
+                            "ckpt.npz")
+    if params.get("mlps") is not None and os.path.exists(mlp_path):
+        data = np.load(mlp_path, allow_pickle=False)
+        flat, _ = jax.tree_util.tree_flatten_with_path(params["mlps"])
+        leaves = [
+            jnp.asarray(data[jax.tree_util.keystr(p)],
+                        dtype=getattr(leaf, "dtype", None))
+            for p, leaf in flat
+        ]
+        params["mlps"] = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(params["mlps"]), leaves)
+    gstate = dataclasses.replace(
+        ts.gstate,
+        valid=jnp.arange(P) < n,
+        max_radii2d=jnp.zeros((P,), jnp.float32),
+        xyz_grad_accum=jnp.zeros((P,), jnp.float32),
+        denom=jnp.zeros((P,), jnp.float32),
+    )
+    return ts._replace(params=params, gstate=gstate,
+                       step=jnp.asarray(iteration, jnp.int32))

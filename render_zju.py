@@ -30,6 +30,13 @@ def parse_args():
     p.add_argument("--white_background", action="store_true")
     p.add_argument("--rasterizer", choices=["pallas", "reference"], default="pallas")
     p.add_argument("--reader", default="zju", choices=["zju", "monocap"])
+    p.add_argument("--novel_view", type=int, default=0, metavar="N",
+                   help="free-viewpoint mode: render N orbit views per test "
+                        "pose instead of the captured test views (the "
+                        "reference's novel_view_vis path, "
+                        "dataset_readers.py:509-538); metrics are skipped "
+                        "(no gt exists at novel viewpoints) and PNGs are "
+                        "always saved")
     return p.parse_args()
 
 
@@ -49,6 +56,12 @@ def render_subject(args, subject: str, iteration: int):
     reader = read_zju_mocap_refine if args.reader == "zju" else read_monocap
     path = os.path.join(args.data_root, f"my_{subject}" if args.reader == "zju" else subject)
     scene, test_specs = reader(path, "test", args.white_background, smpl_path=args.smpl)
+    if args.novel_view:
+        from moss_tpu.render.novel_view import novel_view_specs
+
+        test_specs = novel_view_specs(
+            test_specs, dataset=args.reader, n_views=args.novel_view
+        )
     test_frames = [s.load() for s in test_specs]
 
     model_path = os.path.join(
@@ -78,11 +91,15 @@ def render_subject(args, subject: str, iteration: int):
     trainer = Trainer(scene, test_frames[:1], test_frames, cfg)
     if iteration < 0:
         # searchForMaxIteration analog (reference utils/system_utils.py /
-        # Scene(load_iteration=-1)): resolve the newest checkpoint on disk
+        # Scene(load_iteration=-1)): resolve the newest checkpoint on disk —
+        # either layout (chkpnt{N}.npz or point_cloud/iteration_N/)
         import glob
         import re
 
         cands = glob.glob(os.path.join(cfg.model_path, "chkpnt*.npz"))
+        cands += glob.glob(
+            os.path.join(cfg.model_path, "point_cloud", "iteration_*")
+        )
         if not cands:
             raise FileNotFoundError(f"no checkpoints under {cfg.model_path}")
         iteration = max(
@@ -90,7 +107,15 @@ def render_subject(args, subject: str, iteration: int):
         )
         print(f"[{subject}] loading latest iteration {iteration}")
     ckpt_path = os.path.join(cfg.model_path, f"chkpnt{iteration}.npz")
-    trainer.load(ckpt_path)
+    if os.path.exists(ckpt_path):
+        trainer.load(ckpt_path)
+    else:
+        # reference directory layout (point_cloud/iteration_N/point_cloud.ply
+        # + mlp_ckpt/iteration_N/ckpt.npz) — renders reference-style outputs
+        # and this repo's own save_reference_layout trees
+        from moss_tpu.train.checkpoint import load_reference_layout
+
+        trainer.ts = load_reference_layout(cfg.model_path, iteration, trainer.ts)
 
     bg = jnp.ones(3) if args.white_background else jnp.zeros(3)
     lp = lpips_jax.get_default_params()
@@ -127,6 +152,30 @@ def render_subject(args, subject: str, iteration: int):
         renders.append(cached_render(frame, *smpl_rot[int(frame.pose_id)]))
     jax.block_until_ready(renders[-1])
     fps = len(test_frames) / (time.time() - t0)
+
+    if args.novel_view:
+        # free-viewpoint mode: no gt exists at the orbit viewpoints, so
+        # metrics are meaningless — save every rendered frame instead (the
+        # reference's novel_view_vis path likewise only writes images,
+        # render_ZJU.py render set -> renders/ directory)
+        import imageio.v2 as imageio
+
+        img_dir = os.path.join(
+            cfg.model_path, "renders", f"novel_view_iteration_{iteration}"
+        )
+        os.makedirs(img_dir, exist_ok=True)
+        for i, img in enumerate(renders):
+            img = jnp.clip(img, 0, 1)
+            imageio.imwrite(
+                os.path.join(img_dir, f"{i:05d}.png"),
+                (np.asarray(img) * 255).astype(np.uint8),
+            )
+        result = {
+            "subject": subject, "iteration": iteration, "fps": fps,
+            "novel_views": len(test_frames), "img_dir": img_dir,
+        }
+        print(json.dumps(result))
+        return result
 
     psnr_v = ssim_v = lpips_v = 0.0
     img_dir = os.path.join(cfg.model_path, "renders", f"iteration_{iteration}")

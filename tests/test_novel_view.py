@@ -1,0 +1,148 @@
+"""Novel-view (free-viewpoint) orbit camera parity.
+
+Pins `moss_tpu.render.novel_view` against a direct transcription of the
+reference's camera synthesis — `get_camera_extrinsics_zju_mocap_refine`
+(/root/reference/scene/dataset_readers.py:509-538) and
+`get_camera_extrinsics_monocap` (:268-297) — including the OpenGL->COLMAP
+axis flip the readers pre-multiply (diag(1,-1,-1,1), :628 ZJU / :375
+MonoCap). The transcription below is the TEST ORACLE, written from the
+reference's published math, so a shared misreading in the library cannot
+self-verify.
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+
+from moss_tpu.render.novel_view import (
+    novel_view_specs,
+    orbit_w2c_monocap,
+    orbit_w2c_zju,
+)
+
+
+# --- oracle: direct transcription of the reference formulas ---------------
+
+def _ref_lookat(eye, at, up):
+    def norm(arr):
+        return arr / np.linalg.norm(arr)
+
+    zaxis = norm(at - eye)
+    xaxis = norm(np.cross(zaxis, up))
+    yaxis = np.cross(xaxis, zaxis)
+    return np.array([
+        [xaxis[0], xaxis[1], xaxis[2], -np.dot(xaxis, eye)],
+        [yaxis[0], yaxis[1], yaxis[2], -np.dot(yaxis, eye)],
+        [-zaxis[0], -zaxis[1], -zaxis[2], np.dot(zaxis, eye)],
+        [0, 0, 0, 1],
+    ])
+
+
+def _ref_fix_eye(phi, theta, camera_distance):
+    return np.array([
+        camera_distance * np.sin(theta) * np.cos(phi),
+        camera_distance * np.sin(theta) * np.sin(phi),
+        camera_distance * np.cos(theta),
+    ])
+
+
+_FLIP = np.array([[1, 0, 0, 0], [0, -1, 0, 0], [0, 0, -1, 0], [0, 0, 0, 1]],
+                 np.float64)
+
+
+def _ref_zju_w2c(view_index, camera_view_num=36):
+    # dataset_readers.py:534-538 + the :628 flip
+    eye = _ref_fix_eye(
+        np.pi + 2 * np.pi * view_index / camera_view_num + 1e-6,
+        np.pi / 2 + np.pi / 12 + 1e-6, camera_distance=2,
+    ).astype(np.float32) + np.array([0, 0, -0.8]).astype(np.float32)
+    at = np.array([0, 0, -0.8]).astype(np.float32)
+    ext = _ref_lookat(eye, at, np.array([0, 0, -1])).astype(np.float32)
+    return np.matmul(_FLIP, ext)
+
+
+def _ref_monocap_w2c(view_index, camera_view_num=36):
+    # dataset_readers.py:292-296 + the :375 flip
+    at = np.array([0, 0.8, 0]).astype(np.float32)
+    eye = _ref_fix_eye(
+        np.pi + np.pi / 12 + 1e-6,
+        -np.pi / 2 + 2 * np.pi * view_index / camera_view_num + 1e-6,
+        camera_distance=3,
+    ).astype(np.float32) + at
+    ext = _ref_lookat(eye, at, np.array([0, 1, 0])).astype(np.float32)
+    return np.matmul(_FLIP, ext)
+
+
+# --- parity -----------------------------------------------------------------
+
+@pytest.mark.parametrize("idx", [0, 1, 7, 17, 35])
+def test_zju_orbit_matches_reference(idx):
+    np.testing.assert_allclose(
+        orbit_w2c_zju(idx), _ref_zju_w2c(idx), atol=1e-6)
+
+
+@pytest.mark.parametrize("idx", [0, 1, 9, 20, 35])
+def test_monocap_orbit_matches_reference(idx):
+    np.testing.assert_allclose(
+        orbit_w2c_monocap(idx), _ref_monocap_w2c(idx), atol=1e-6)
+
+
+@pytest.mark.parametrize("name,fn", [("zju", orbit_w2c_zju),
+                                     ("monocap", orbit_w2c_monocap)])
+def test_orbit_is_rigid_and_fixed_radius(name, fn):
+    """Every w2c is a valid rigid transform and the eye stays on the orbit
+    circle (radius 2 about (0,0,-0.8) ZJU / radius 3 about (0,0.8,0) MonoCap
+    — dataset_readers.py:527,283)."""
+    center = {"zju": np.array([0, 0, -0.8]), "monocap": np.array([0, 0.8, 0])}
+    radius = {"zju": 2.0, "monocap": 3.0}
+    for idx in range(0, 36, 5):
+        w2c = fn(idx)
+        R, t = w2c[:3, :3], w2c[:3, 3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+        assert abs(np.linalg.det(R) - 1.0) < 1e-5
+        eye = -R.T @ t  # camera center in world coords
+        assert abs(np.linalg.norm(eye - center[name]) - radius[name]) < 1e-4
+
+
+def test_distinct_views_distinct_cameras():
+    views = [orbit_w2c_zju(i) for i in range(8)]
+    for i in range(len(views) - 1):
+        assert np.abs(views[i] - views[i + 1]).max() > 1e-3
+
+
+# --- spec grafting ----------------------------------------------------------
+
+def _dummy_spec(pose_id):
+    from moss_tpu.data.readers import FrameSpec
+
+    return FrameSpec(
+        image_path=f"img_{pose_id}.jpg", mask_path=f"msk_{pose_id}.png",
+        K=np.diag([500.0, 500.0, 1.0]), D=np.zeros(5),
+        R_w2c=np.eye(3), T_w2c=np.zeros((3, 1)),
+        smpl_param={"poses": np.zeros((1, 72)), "shapes": np.zeros((1, 10)),
+                    "R": np.eye(3, dtype=np.float32),
+                    "Th": np.zeros((1, 3), np.float32)},
+        world_bound=np.array([[-1, -1, -1], [1, 1, 1]], np.float32),
+        pose_id=pose_id, image_scaling=0.5, white_background=False,
+    )
+
+
+def test_novel_view_specs_grafting():
+    """One spec per (pose, orbit view); per the reference (view_index=0
+    substitution, dataset_readers.py:606-636) each orbit frame keeps the
+    pose's K/SMPL/paths, replaces R|T with the orbit extrinsics, and skips
+    undistortion (D=None)."""
+    specs = [_dummy_spec(0), _dummy_spec(0), _dummy_spec(3)]
+    out = novel_view_specs(specs, dataset="zju", n_views=4)
+    assert len(out) == 2 * 4  # 2 distinct poses x 4 views
+    for i, s in enumerate(out):
+        v = i % 4
+        expect = orbit_w2c_zju(v)
+        np.testing.assert_allclose(s.R_w2c, expect[:3, :3], atol=1e-6)
+        np.testing.assert_allclose(s.T_w2c, expect[:3, 3:4], atol=1e-6)
+        assert s.D is None
+        assert s.K[0, 0] == 500.0
+    assert [s.pose_id for s in out] == [0] * 4 + [3] * 4
+    # the first spec of each pose supplies the base (reference reuses view 0)
+    assert out[0].image_path == "img_0.jpg"
+    assert out[4].image_path == "img_3.jpg"

@@ -131,6 +131,9 @@ def train_sequence(args, seq: str):
         print(f"[{seq}] iter {m['iteration']}: PSNR {m['psnr']:.3f} "
               f"SSIM {m['ssim']:.5f} LPIPSx1e3 {m['lpips'] * 1000:.3f}")
         trainer.save(os.path.join(cfg.model_path, f"chkpnt{m['iteration']}.npz"))
+        from moss_tpu.train.checkpoint import save_reference_layout
+
+        save_reference_layout(cfg.model_path, m["iteration"], trainer.ts)
     tb.close()
     return metrics
 

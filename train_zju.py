@@ -145,6 +145,11 @@ def train_subject(args, subject: str):
         print(f"[{subject}] iter {m['iteration']}: PSNR {m['psnr']:.3f} "
               f"SSIM {m['ssim']:.5f} LPIPSx1e3 {m['lpips'] * 1000:.3f}")
         trainer.save(os.path.join(cfg.model_path, f"chkpnt{m['iteration']}.npz"))
+        # reference artifact tree (scene/__init__.py:109-123): external 3DGS
+        # tooling walks point_cloud/iteration_N/; render drivers load either
+        from moss_tpu.train.checkpoint import save_reference_layout
+
+        save_reference_layout(cfg.model_path, m["iteration"], trainer.ts)
 
     # PLY export for 3DGS-viewer interop
     from moss_tpu.data.ply import save_ply
