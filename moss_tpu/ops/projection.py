@@ -175,9 +175,22 @@ def preprocess(
     if valid_mask is not None:
         valid = valid & valid_mask
     radius = jnp.where(valid, radius, 0.0).astype(jnp.int32)
-    # AABB extents: exp(-0.5 * 3.4^2) = 3.1e-3 < 1/255, so the per-axis 3.4
-    # sigma box encloses every pixel the blend can accept (see Projected).
-    ext = jnp.ceil(3.4 * jnp.sqrt(jnp.maximum(cov2d[..., (0, 2)], 0.0)))
+    # AABB extents, opacity-adaptive: the blend skips alpha = op*exp(-q)
+    # < 1/255 (ALPHA_MIN, forward.cu:341-349), and alpha can only reach
+    # 1/255 inside the ellipse q <= ln(255*op), whose bounding box
+    # half-extent along an axis is sqrt(2 ln(255*op)) * sigma_axis. Clamped
+    # to 3.4 (exp(-0.5*3.4^2) = 3.1e-3 < 1/255: the opacity-blind bound for
+    # op ~ 1), with the same q-space margin (1e-3) the binning peak-alpha
+    # cull uses, so the box always encloses every pixel the blend can accept
+    # — output-bit-identical to the reference's opacity-blind square rect
+    # (forward.cu:229-232), but low-opacity splats get much smaller rects
+    # BEFORE pair expansion, cutting every downstream cost that scales with
+    # pair count. op <= 1/255 gives extent 0: the splat contributes nowhere
+    # and tile_rect_aabb drops it entirely.
+    nsig = jnp.sqrt(jnp.maximum(
+        2.0 * (jnp.log(jnp.maximum(opacity, 1e-12) * 255.0) + 1e-3), 0.0))
+    nsig = jnp.minimum(nsig, 3.4)
+    ext = jnp.ceil(nsig[:, None] * jnp.sqrt(jnp.maximum(cov2d[..., (0, 2)], 0.0)))
     radius_xy = jnp.minimum(ext, radius[:, None].astype(ext.dtype)).astype(jnp.int32)
     return Projected(
         mean2d=mean2d,

@@ -7,9 +7,13 @@ so loss-side regressions are attributable (the rasterizer has its own
 profiler, tools/profile_raster.py).
 
 Run: PYTHONPATH=/root/.axon_site:/root/repo python tools/profile_train.py
+MOSS_PROFILE_SHAPE=1024 validates the MonoCap full-res shape (the reference
+trains MonoCap at full resolution, dataset_readers.py:299) — including the
+LPIPS im2col HBM transient PERF.md flags as linear in crop pixels.
 """
 from __future__ import annotations
 
+import os
 import time
 
 import jax
@@ -43,7 +47,7 @@ def main():
     if jax.devices()[0].platform == "cpu":
         rt.INTERPRET = True
 
-    H = W = 512
+    H = W = int(os.environ.get("MOSS_PROFILE_SHAPE", "512"))
     scene = make_scene(n_verts=6890)
     frames, _ = make_frames(scene, n_frames=2, H=H, W=W, crop=H)
     cfg = Config(model=ModelConfig(sh_degree=3, capacity=46080,
@@ -137,6 +141,14 @@ def main():
     ]:
         dt = queued_time(fn, *args)
         print(f"{name:24s} {dt*1e3:8.2f} ms")
+
+    stats = jax.local_devices()[0].memory_stats() or {}
+    peak = stats.get("peak_bytes_in_use")
+    limit = stats.get("bytes_limit")
+    if peak:
+        margin = f" ({peak / limit * 100:.0f}% of {limit / 2**30:.1f} GiB)" \
+            if limit else ""
+        print(f"peak HBM: {peak / 2**30:.2f} GiB{margin}")
 
 
 if __name__ == "__main__":
