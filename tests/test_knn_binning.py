@@ -295,3 +295,85 @@ class TestSlotBudget1024:
         assert int(layout.num_pairs) == live
         # the sized buffer really is tighter than the safe default
         assert budget < cap
+
+
+class TestMeasureSlotNeedStats:
+    """The probe outputs that size the OTHER two static budgets
+    (trainer._resize_pair_buffer): `total_live` must equal the brute-force
+    count of pairs surviving the rect cap + peak-alpha cull (pre-NPb
+    truncation), and `max_rect` the largest pre-cap tile rect of any valid
+    Gaussian."""
+
+    def test_total_live_and_max_rect_exact(self):
+        import jax
+        import jax.numpy as jnp
+        from moss_tpu.ops import rasterize_tpu as rt
+        from moss_tpu.ops import transforms as tf
+        from moss_tpu.ops.binning import measure_slot_need, tile_rect_aabb
+        from moss_tpu.ops.projection import preprocess
+        from moss_tpu.render.camera import Camera
+
+        rng = np.random.default_rng(23)
+        H, W = 64, 256
+        K = np.array([[70.0, 0, W / 2], [0, 70.0, H / 2], [0, 0, 1.0]])
+        cam = Camera.from_KRT(K, np.eye(3), np.zeros(3), H, W)
+        n = 150
+        means = np.stack(
+            [rng.uniform(-1.2, 1.2, n), rng.uniform(-0.4, 0.4, n),
+             rng.uniform(1.5, 3, n)], -1).astype(np.float32)
+        cov3d = tf.build_covariance(
+            jnp.asarray(rng.uniform(0.02, 0.15, (n, 3)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32)))
+        ops = rng.uniform(0.01, 1.0, n).astype(np.float32)
+        proj = preprocess(jnp.asarray(means), cov3d,
+                          jnp.zeros((n, 3), jnp.float32), jnp.asarray(ops),
+                          cam)
+        B = 16
+        G = rt.DEFAULT_GROUPS
+        m = jax.jit(lambda p: measure_slot_need(
+            p.mean2d, p.conic, p.opacity, p.depth, p.radius, p.valid,
+            H, W, rt.TILE_H, rt.TILE_W, max_tiles_per_gaussian=B,
+            pair_budget=n * B, groups=G, radius_xy=p.radius_xy,
+        ))(proj)
+
+        # brute force in the binning's SUBtile grid
+        th, tw_geo = rt.TILE_H, rt.TILE_W
+        tw = tw_geo // G
+        gh, gw = -(-H // th), (-(-W // tw_geo)) * G
+        r = tile_rect_aabb(proj.mean2d, proj.radius, proj.radius_xy,
+                           gh, gw, th, tw)
+        min_y, min_x, max_y, max_x = (np.asarray(a) for a in r)
+        m2 = np.asarray(proj.mean2d)
+        conic = np.asarray(proj.conic)
+        valid = np.asarray(proj.valid)
+        total = 0
+        max_rect = 0
+        for i in range(n):
+            if not valid[i]:
+                continue
+            n_x = max_x[i] - min_x[i]
+            n_tiles = n_x * (max_y[i] - min_y[i])
+            max_rect = max(max_rect, int(n_tiles))
+            a, b, c = conic[i]
+            # first B tiles in the binning's slot order (slot//n_x, slot%n_x)
+            for slot in range(min(int(n_tiles), B)):
+                ty = min_y[i] + slot // max(n_x, 1)
+                tx = min_x[i] + slot % max(n_x, 1)
+                dx0 = tx * tw - m2[i, 0]
+                dy0 = ty * th - m2[i, 1]
+                xs = dx0 + np.arange(tw)
+                ys = dy0 + np.arange(th)
+                dxg, dyg = np.meshgrid(xs, ys)
+                q = 0.5 * (a * dxg**2 + c * dyg**2) + b * dxg * dyg
+                qcap = np.log(max(ops[i], 1e-12) * 255.0) + 1e-3
+                # the cull minimizes q over the CONTINUOUS rect of pixel
+                # coords; the discrete-grid min can only be >= that, so a
+                # pair the discrete test keeps must be kept by the cull too
+                if q.min() <= qcap:
+                    total += 1
+        assert int(m["max_rect"]) == max_rect
+        # the continuous-minimum cull keeps every discretely-live pair and
+        # may keep a few boundary pairs the pixel grid just misses
+        assert int(m["total_live"]) >= total
+        assert int(m["total_live"]) <= total + n  # margin pairs are rare
+        assert int(m["rect_overflow"]) == 0  # nothing exceeds B here
