@@ -146,3 +146,44 @@ def test_novel_view_specs_grafting():
     # the first spec of each pose supplies the base (reference reuses view 0)
     assert out[0].image_path == "img_0.jpg"
     assert out[4].image_path == "img_3.jpg"
+
+
+def test_orbit_cameras_see_the_subject():
+    """Render a blob of Gaussians parked at each dataset's orbit center
+    through cameras built from the orbit extrinsics: every view must put the
+    subject in frame (nonzero alpha, roughly centered) — catches any
+    axis-flip/translation misreading that the pure matrix parity cannot."""
+    import jax.numpy as jnp
+
+    from moss_tpu.ops import transforms as tf
+    from moss_tpu.ops.projection import preprocess
+    from moss_tpu.ops.rasterize_ref import rasterize_reference
+    from moss_tpu.render.camera import Camera
+
+    rng = np.random.default_rng(2)
+    H = W = 64
+    K = np.array([[70.0, 0, W / 2], [0, 70.0, H / 2], [0, 0, 1.0]])
+    n = 80
+    for name, fn, center in [
+        ("zju", orbit_w2c_zju, np.array([0, 0, -0.8])),
+        ("monocap", orbit_w2c_monocap, np.array([0, 0.8, 0])),
+    ]:
+        pts = (rng.normal(0, 0.12, (n, 3)) + center).astype(np.float32)
+        cov3d = tf.build_covariance(
+            jnp.full((n, 3), 0.05, jnp.float32),
+            jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32)))
+        for idx in (0, 9, 23):
+            w2c = fn(idx)
+            # FrameSpec stores R_w2c/T_w2c and builds Camera.from_KRT with
+            # R.T (readers.py:200 — reference stores R transposed); mirror it
+            cam = Camera.from_KRT(K, w2c[:3, :3].T, w2c[:3, 3], H, W)
+            proj = preprocess(
+                jnp.asarray(pts), cov3d, jnp.zeros((n, 3), jnp.float32),
+                jnp.full((n,), 0.9, jnp.float32), cam)
+            out = rasterize_reference(proj, jnp.zeros(3), H, W)
+            alpha = np.asarray(out["alpha"])
+            assert alpha.max() > 0.5, (name, idx, "subject not visible")
+            ys, xs = np.nonzero(alpha > 0.1)
+            cy, cx = ys.mean(), xs.mean()
+            assert abs(cy - H / 2) < H * 0.25 and abs(cx - W / 2) < W * 0.25, (
+                name, idx, "subject far off-center", cy, cx)
