@@ -462,12 +462,34 @@ class Trainer:
         iterations: Optional[int] = None,
         eval_iters=None,
         fused_dispatch: bool = True,
+        dispatch_engine: str = "queued",
     ):
-        """Host loop. With fused_dispatch, all iterations between host
-        boundaries (densify/eval/SH changes) run in one lax.scan dispatch over
-        device-staged frames — the per-step host round trip otherwise
-        dominates wall clock on remote TPU setups."""
+        """Host loop.
+
+        dispatch_engine selects how iterations between host boundaries
+        (densify/eval/SH changes) reach the device:
+
+        * "queued" (default): every step dispatched asynchronously with no
+          device fetch; ONE compiled step program total, host RTT hidden
+          behind device execution. Fastest on a healthy link (17.6 vs
+          27.7 ms/iter at the reference shape, PERF.md).
+        * "scan": fixed-size lax.scan blocks over device-staged frames (block
+          = gcd of the boundary gaps, so one compile serves the whole
+          schedule). One host round trip per BLOCK instead of per step —
+          the right engine when the host<->device link is slow or degraded
+          (a relay adding ~20 ms per dispatch doubles queued's ms/iter but
+          leaves scan untouched). Single-chip only.
+        * "eager": per-step dispatch with a fetch every 10 steps (debugging).
+
+        fused_dispatch=False is the back-compat spelling of "eager"."""
         cfg = self.cfg
+        if not fused_dispatch:
+            dispatch_engine = "eager"
+        if dispatch_engine == "scan" and self.mesh is not None:
+            # the mesh path already trains device-resident with queued
+            # dispatch and zero per-step host tensor work
+            dispatch_engine = "queued"
+        assert dispatch_engine in ("queued", "scan", "eager"), dispatch_engine
         iters = iterations or cfg.optim.iterations
         # explicit [] means "no evals" — only None falls back to the config
         eval_iters = set(cfg.pipe.test_iterations if eval_iters is None
@@ -483,13 +505,18 @@ class Trainer:
             order.extend(rng.permutation(len(self.train_frames)).tolist())
         order = np.asarray(order[: iters * n_data], np.int32).reshape(iters, n_data)
 
-        gt_feats_all = gt_feats_list = None
+        gt_feats_all = gt_feats_list = frames_stacked = None
         if self.mesh is not None:
             # the whole split + its gt LPIPS towers stay device-resident and
             # each step gathers its n_data frames by index INSIDE the jitted
             # program — queued dispatch with zero per-step host tensor work
             gt_feats_all = self._stage_gt_lpips_feats(stacked=True)
-        elif fused_dispatch and len(self.train_frames) > 0:
+        elif dispatch_engine == "scan" and len(self.train_frames) > 0:
+            from ..parallel.sharded import stack_frames
+
+            frames_stacked = stack_frames(self.train_frames)
+            gt_feats_all = self._stage_gt_lpips_feats(stacked=True)
+        elif dispatch_engine == "queued" and len(self.train_frames) > 0:
             # per-frame list (device-resident): queued dispatch needs no
             # stacking/gather at all
             gt_feats_list = self._stage_gt_lpips_feats(stacked=False)
@@ -556,7 +583,7 @@ class Trainer:
                 )
                 return logs
 
-        if fused_dispatch or self.mesh is not None:
+        if dispatch_engine == "queued" or self.mesh is not None:
             # Queued async dispatch: between host boundaries every step is
             # dispatched without any device fetch, so the per-step host round
             # trip is hidden behind device execution; the single fetch at the
@@ -574,6 +601,47 @@ class Trainer:
                     # while the boundary frame doesn't
                     for it in range(prev + 1, bound + 1):
                         logs = dispatch(it)
+                        o = logs.get("raster_overflow")
+                        if o is not None:
+                            ovf = o if ovf is None else ovf + o
+                    if ovf is not None:
+                        logs = dict(logs)
+                        logs["raster_overflow"] = ovf
+                    host_work(bound, logs)
+                    prev = bound
+        elif dispatch_engine == "scan":
+            # Fixed-size lax.scan blocks (PERF.md "Wall-clock at full scale"):
+            # the scan length is BAKED into the compiled program, so blocks
+            # use the gcd of the boundary gaps — one compile serves the whole
+            # schedule. One host round trip per block instead of per step
+            # makes this engine immune to a slow/degraded host<->device link;
+            # blocks never straddle a boundary (gcd divides every gap), so
+            # the per-block SH degree is exact.
+            import math
+
+            from .train_step import make_train_many
+
+            boundaries = self._host_boundaries(iters, eval_iters)
+            gaps = [b - a for a, b in zip([0] + boundaries, boundaries)
+                    if b > a]
+            block = math.gcd(*gaps) if gaps else iters
+            many_fn = make_train_many(self.step_fn)
+            version = self._step_version
+            prev = 0
+            for bound in boundaries:
+                if bound > prev:
+                    if self._step_version != version:
+                        # a raster budget grew at a boundary — rebuild
+                        many_fn = make_train_many(self.step_fn)
+                        version = self._step_version
+                    logs = None
+                    ovf = None
+                    for s in range(prev, bound, block):
+                        deg = active_sh_degree(s + 1, cfg.model.sh_degree)
+                        chunk = jnp.asarray(order[s:s + block, 0])
+                        self.ts, logs = many_fn(
+                            self.ts, frames_stacked, chunk, deg, gt_feats_all
+                        )
                         o = logs.get("raster_overflow")
                         if o is not None:
                             ovf = o if ovf is None else ovf + o

@@ -51,6 +51,13 @@ def parse_args():
                         "selects the multi-chip trainer. 0 0 = single chip")
     p.add_argument("--n_tile", type=int, default=0,
                    help="pixel-band mesh axis (chips per image)")
+    p.add_argument("--dispatch", choices=["queued", "scan", "eager"],
+                   default="queued",
+                   help="dispatch engine: queued async per-step (fastest on "
+                        "a healthy link), scan = fixed lax.scan blocks (one "
+                        "host round trip per ~100 iters — use when the "
+                        "host<->device link is slow/degraded), eager = "
+                        "per-step with fetches (debugging)")
     p.add_argument("--gui_port", type=int, default=0,
                    help="SIBR remote-viewer port (0=off); reference network_gui")
     p.add_argument("--n_init", type=int, default=6890,
@@ -136,7 +143,8 @@ def train_subject(args, subject: str):
     trainer = Trainer(scene, train_frames, test_specs, cfg, crop_hw=crop_hw,
                       log_fn=log, tb=tb, mesh=mesh, gui=gui,
                       source_path=path)
-    metrics = trainer.train(eval_iters=args.test_iterations)
+    metrics = trainer.train(eval_iters=args.test_iterations,
+                            dispatch_engine=args.dispatch)
     from moss_tpu.ops.lpips_jax import result_note
 
     for m in metrics:
