@@ -291,6 +291,43 @@ def default_slot_budget(P: int, height: int, width: int, tile_h: int,
     return _default_slot_budget(NPb, G, align, num_tiles, num_super)
 
 
+def default_pair_budget(P: int, height: int, width: int, tile_h: int,
+                        tile_w: int, groups: int = 1,
+                        max_tiles_per_gaussian: int = 16,
+                        align: int = 128) -> int:
+    """The NPb _pair_keys picks when pair_budget=0 (4P + 64·num_subtiles,
+    align-rounded, capped at P·B) — public so callers can compare a measured
+    live-pair count against the default before overriding it (the pair-table
+    analog of default_slot_budget; keep in sync with _pair_keys step 4)."""
+    grid_h = -(-height // tile_h)
+    num_tiles = grid_h * (-(-width // tile_w)) * groups
+    default = 4 * P + 64 * num_tiles
+    return min(((default + align - 1) // align) * align,
+               P * max_tiles_per_gaussian)
+
+
+def worst_case_slot_budget(P: int, height: int, width: int, tile_h: int,
+                           tile_w: int, groups: int = 1,
+                           max_tiles_per_gaussian: int = 16,
+                           pair_budget: int = 0, align: int = 128) -> int:
+    """A TRUE upper bound on the aligned slot need under the given budgets:
+    every supertile's per-group chunk count is ceil(max_group_count/align),
+    so the total padded layout can never exceed G·NPb + G·align·num_super
+    (each of the NPb pairs contributes at most G slots through its group's
+    shared chunk rounding, plus one align-block of padding per (super,
+    group)). Beyond this there is nothing for a slot-budget grower to gain —
+    remaining overflow must come from the rect cap or the NPb cut."""
+    G = groups
+    grid_h = -(-height // tile_h)
+    grid_w_sup = -(-width // tile_w)
+    num_super = grid_h * grid_w_sup
+    if pair_budget == 0:
+        pair_budget = 4 * P + 64 * (num_super * G)
+    NPb = min(((pair_budget + align - 1) // align) * align,
+              P * max_tiles_per_gaussian)
+    return G * NPb + G * align * num_super
+
+
 
 class _PairKeys(NamedTuple):
     """Steps 1-5 of the pair build: tile-sorted packed keys + per-tile counts."""

@@ -78,6 +78,52 @@ def save_reference_layout(model_path: str, iteration: int, ts) -> None:
         np.savez_compressed(os.path.join(mlp_dir, "ckpt.npz"), **flat)
 
 
+def convert_torch_mlp_state(autoreg_sd, lbs_sd) -> dict:
+    """Map the reference's Autoregression / CrossAttention_lbs state dicts
+    (the `ckpt.pth` payload written by scene/__init__.py:114-123) into the
+    moss-tpu mlps pytree — the same weight-for-weight mapping pinned by
+    tests/test_mlps_parity.py. `out_layer`/`gate_proj` keys are ignored
+    (defined but never used in the reference forward,
+    nets/mlp_delta_weight_lbs.py:26-27)."""
+    import jax.numpy as jnp
+
+    from ..models import lbs_field, pose_refine
+
+    def t2n(v):
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        return np.asarray(v, np.float32)
+
+    def lin(sd, name):
+        return {"w": jnp.asarray(t2n(sd[f"{name}.weight"]).T),
+                "b": jnp.asarray(t2n(sd[f"{name}.bias"]))}
+
+    def conv_to_lin(sd, name):  # (out, in, 1) conv1d -> (in, out) matmul
+        return {"w": jnp.asarray(t2n(sd[f"{name}.weight"])[:, :, 0].T),
+                "b": jnp.asarray(t2n(sd[f"{name}.bias"]))}
+
+    pose = dict(pose_refine.init(jax.random.PRNGKey(0)))
+    for i, li in enumerate((0, 2, 4)):
+        pose[f"trunk{i}"] = lin(autoreg_sd, f"block_mlps.{li}")
+    heads_w = np.zeros(
+        (pose_refine.NUM_JOINTS, 3, 3 * pose_refine.MAX_SLOTS), np.float32)
+    heads_b = np.zeros((pose_refine.NUM_JOINTS, 3), np.float32)
+    for j in range(pose_refine.NUM_JOINTS):
+        W = t2n(autoreg_sd[f"fc_pose.{j}.0.weight"])  # (3, in_j)
+        heads_w[j, :, : W.shape[1]] = W
+        heads_b[j] = t2n(autoreg_sd[f"fc_pose.{j}.0.bias"])
+    pose["heads_w"] = jnp.asarray(heads_w)
+    pose["heads_b"] = jnp.asarray(heads_b)
+
+    lbs = dict(lbs_field.init(jax.random.PRNGKey(0)))
+    for i in range(4):
+        lbs[f"l{i}"] = conv_to_lin(lbs_sd, f"bw_linears.{i}")
+    lbs["fc"] = conv_to_lin(lbs_sd, "bw_fc")
+    for name in ("query", "key", "value"):
+        lbs[name] = lin(lbs_sd, name)
+    return {"pose": pose, "lbs": lbs}
+
+
 def load_reference_layout(model_path: str, iteration: int, ts) -> Any:
     """Rebuild a TrainState's params/valid-mask from the reference directory
     layout (the inverse of save_reference_layout; also reads clouds written
@@ -121,18 +167,35 @@ def load_reference_layout(model_path: str, iteration: int, ts) -> Any:
     )
     params = dict(ts.params)
     params["gauss"] = new_g
-    mlp_path = os.path.join(model_path, "mlp_ckpt", f"iteration_{iteration}",
-                            "ckpt.npz")
-    if params.get("mlps") is not None and os.path.exists(mlp_path):
-        data = np.load(mlp_path, allow_pickle=False)
-        flat, _ = jax.tree_util.tree_flatten_with_path(params["mlps"])
-        leaves = [
-            jnp.asarray(data[jax.tree_util.keystr(p)],
-                        dtype=getattr(leaf, "dtype", None))
-            for p, leaf in flat
-        ]
-        params["mlps"] = jax.tree_util.tree_unflatten(
-            jax.tree_util.tree_structure(params["mlps"]), leaves)
+    mlp_dir = os.path.join(model_path, "mlp_ckpt", f"iteration_{iteration}")
+    mlp_npz = os.path.join(mlp_dir, "ckpt.npz")
+    mlp_pth = os.path.join(mlp_dir, "ckpt.pth")
+    if params.get("mlps") is not None:
+        if os.path.exists(mlp_npz):
+            data = np.load(mlp_npz, allow_pickle=False)
+            flat, _ = jax.tree_util.tree_flatten_with_path(params["mlps"])
+            leaves = [
+                jnp.asarray(data[jax.tree_util.keystr(p)],
+                            dtype=getattr(leaf, "dtype", None))
+                for p, leaf in flat
+            ]
+            params["mlps"] = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(params["mlps"]), leaves)
+        elif os.path.exists(mlp_pth):
+            # a genuine reference-produced tree: torch-pickled state dicts
+            # (scene/__init__.py:119-123) — convert weight-for-weight
+            import torch
+
+            ckpt = torch.load(mlp_pth, map_location="cpu")
+            params["mlps"] = convert_torch_mlp_state(
+                ckpt["Autoregression"], ckpt["CrossAttention_lbs"])
+        else:
+            # rendering a deform model through random-init MLPs would emit
+            # garbage with no hint why — refuse instead of degrading silently
+            raise FileNotFoundError(
+                f"model has deformation MLPs but neither {mlp_npz} nor "
+                f"ckpt.pth exists — the mlp_ckpt tree is required to render "
+                f"a non-static model")
     gstate = dataclasses.replace(
         ts.gstate,
         valid=jnp.arange(P) < n,

@@ -241,18 +241,44 @@ class Trainer:
             max_tiles_per_gaussian=max_tiles, pair_budget=pair_budget,
         )
 
-    def _default_pair_budget(self, max_tiles: int = 16) -> int:
-        """The binning default NPb at the current raster shape (_pair_keys)."""
-        from ..ops import rasterize_tpu as rt
-
+    def _budget_shape(self):
+        """(height, width) the raster budgets are sized for (per-band in
+        mesh mode)."""
         cam = self.train_frames[0].camera
         h = (cam.height if self.mesh is None
              else cam.height // self.mesh.shape["tile"])
-        G = rt.DEFAULT_GROUPS
-        num_tiles = -(-h // rt.TILE_H) * -(-cam.width // rt.TILE_W) * G
-        P = self.ts.params["gauss"].capacity
-        default = 4 * P + 64 * num_tiles
-        return min(-(-default // 128) * 128, P * max_tiles)
+        return h, cam.width
+
+    def _default_pair_budget(self, max_tiles: int = 16) -> int:
+        """The binning default NPb at the current raster shape."""
+        from ..ops import rasterize_tpu as rt
+        from ..ops.binning import default_pair_budget
+
+        h, w = self._budget_shape()
+        return default_pair_budget(
+            self.ts.params["gauss"].capacity, h, w, rt.TILE_H, rt.TILE_W,
+            groups=rt.DEFAULT_GROUPS, max_tiles_per_gaussian=max_tiles,
+        )
+
+    def _max_slot_budget(self, pair_budget: int, max_tiles: int) -> int:
+        """True upper bound on the aligned slot need under the given
+        pair/rect budgets (binning.worst_case_slot_budget) — the recovery
+        grower must not escalate past it."""
+        from ..ops import rasterize_tpu as rt
+        from ..ops.binning import worst_case_slot_budget
+
+        h, w = self._budget_shape()
+        return worst_case_slot_budget(
+            self.ts.params["gauss"].capacity, h, w, rt.TILE_H, rt.TILE_W,
+            groups=rt.DEFAULT_GROUPS, max_tiles_per_gaussian=max_tiles,
+            pair_budget=pair_budget,
+        )
+
+    def _num_subtiles(self) -> int:
+        from ..ops import rasterize_tpu as rt
+
+        h, w = self._budget_shape()
+        return (-(-h // rt.TILE_H)) * (-(-w // rt.TILE_W)) * rt.DEFAULT_GROUPS
 
     def _resize_pair_buffer(self, full: bool = False, grow_from: int = 0):
         """Probe the current cloud's exact buffer needs and grow the three
@@ -282,8 +308,18 @@ class Trainer:
         if stats[2] > B:
             # splats touch more tiles than the rect cap — re-probe with the
             # true cap so need/total_live are exact (max_rect itself is
-            # computed pre-cap and already exact)
-            B = 1 << int(np.ceil(np.log2(int(stats[2]))))
+            # computed pre-cap and already exact). Clamped: B can never
+            # usefully exceed the subtile count, and the (B, P) rect math /
+            # the P·B pair table scale with B, so a single degenerate splat
+            # must not escalate the whole pipeline without bound — past the
+            # clamp its extra tiles are counted in rect overflow instead.
+            B_CAP = min(1024, self._num_subtiles())
+            want = 1 << int(np.ceil(np.log2(int(stats[2]))))
+            B = min(max(want, B), B_CAP)
+            if want > B_CAP:
+                print(f"[trainer] a splat touches {int(stats[2])} subtiles "
+                      f"(> rect-cap clamp {B_CAP}) — pathological splat; "
+                      f"its overflow tiles stay counted, not binned")
             stats = np.max(
                 np.stack([self._probe_slot_need(f, B) for f in probe]), axis=0
             )
@@ -299,13 +335,20 @@ class Trainer:
         # a full recompile — is rare), finer when the whole default budget is
         # small (tiny scenes/tests, where recompiles are cheap and a 32k
         # bucket could never undercut the default)
-        bucket = 32768 if self._default_budget_cap() >= 4 * 32768 else 2048
+        bucket = (32768 if self._default_budget_cap(
+            self._pair_budget, self._max_tiles) >= 4 * 32768 else 2048)
         budget = -(-int(need * factor) // bucket) * bucket
-        pair_budget = -(-int(total_live * factor) // bucket) * bucket
-        if pair_budget <= self._default_pair_budget(B):
-            pair_budget = 0  # the binning default already covers it
-        pair_budget = max(pair_budget, self._pair_budget)  # never shrink
         max_tiles = max(B, self._max_tiles)
+        # pair budget: 0 means "binning default". The default grows with
+        # max_tiles, so switching a previously-explicit budget back to 0 is
+        # legal exactly when the default now covers the old explicit value
+        # too — the EFFECTIVE capacity never shrinks (a plain
+        # max(new, old_explicit) here would let a stale explicit number
+        # permanently undercut a larger default and defeat the self-heal).
+        target_pair = max(-(-int(total_live * factor) // bucket) * bucket,
+                          self._pair_budget)
+        pair_budget = (0 if target_pair <= self._default_pair_budget(max_tiles)
+                       else target_pair)
         cap = self._default_budget_cap(pair_budget, max_tiles)
         if grow_from:
             # recovery path: the current budgets measurably dropped pairs —
@@ -313,10 +356,22 @@ class Trainer:
             # (backstop against a probe/runtime fp disagreement), and the
             # default-budget cap does not apply (with groups > 1 the default
             # is a heuristic, not an exact no-drop bound; if IT overflowed we
-            # must size past it)
-            budget = max(budget, grow_from + bucket)
+            # must size past it). Bounded by the TRUE worst case: beyond
+            # worst_case_slot_budget the slot layout cannot drop anything,
+            # so remaining overflow is rect/NPb drops and growing further
+            # would only recompile forever.
+            hard = self._max_slot_budget(pair_budget, max_tiles)
+            budget = min(max(budget, grow_from + bucket), hard)
+            if (budget <= self._slot_budget
+                    and pair_budget == self._pair_budget
+                    and max_tiles == self._max_tiles):
+                print(f"[trainer] overflow persists at the worst-case slot "
+                      f"budget {self._slot_budget} — drops are rect/NPb-"
+                      f"bounded; budgets unchanged")
+                return
+            budget = max(budget, self._slot_budget)  # monotone
         else:
-            grew = (pair_budget > self._pair_budget
+            grew = (pair_budget != self._pair_budget
                     or max_tiles > self._max_tiles)
             if budget <= self._slot_budget and not grew:
                 return
@@ -545,7 +600,12 @@ class Trainer:
                 # and grow strictly past the budget that overflowed, even
                 # outside the densify window
                 dropped = int(logs["raster_overflow"])
-                cur = self._slot_budget or self._default_budget_cap()
+                # the budget that overflowed = the INSTALLED slot budget, or
+                # the default AT THE INSTALLED pair/rect budgets (default
+                # args here would mis-state it after pair/max_tiles grew
+                # while slot stayed on the default heuristic)
+                cur = self._slot_budget or self._default_budget_cap(
+                    self._pair_budget, self._max_tiles)
                 print(f"[trainer] raster_overflow={dropped} at iter {it} "
                       f"under slot budget {cur} — re-probing all "
                       f"{len(self.train_frames)} frames and regrowing")

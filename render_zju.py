@@ -57,12 +57,27 @@ def render_subject(args, subject: str, iteration: int):
     path = os.path.join(args.data_root, f"my_{subject}" if args.reader == "zju" else subject)
     scene, test_specs = reader(path, "test", args.white_background, smpl_path=args.smpl)
     if args.novel_view:
+        import dataclasses
+
         from moss_tpu.render.novel_view import novel_view_specs
 
         test_specs = novel_view_specs(
             test_specs, dataset=args.reader, n_views=args.novel_view
         )
-    test_frames = [s.load() for s in test_specs]
+        # decode each pose ONCE: the orbit views reuse the base frame's
+        # pixels/masks/SMPL (gt is unused at novel viewpoints) and swap in
+        # the orbit camera, which make_camera builds without any decode —
+        # loading per spec would re-decode the identical image n_views times
+        loaded, test_frames = {}, []
+        for s in test_specs:
+            pid = int(s.pose_id)
+            if pid not in loaded:
+                loaded[pid] = s.load()
+            f = loaded[pid]
+            test_frames.append(dataclasses.replace(
+                f, camera=s.make_camera((f.camera.height, f.camera.width))))
+    else:
+        test_frames = [s.load() for s in test_specs]
 
     model_path = os.path.join(
         args.output, f"my_{subject}" if args.reader == "zju" else subject

@@ -1,15 +1,19 @@
-"""Novel-view (free-viewpoint) orbit camera parity.
+"""Novel-view (free-viewpoint) orbit camera parity — the REFERENCE'S OWN
+CODE as oracle.
 
-Pins `moss_tpu.render.novel_view` against a direct transcription of the
-reference's camera synthesis — `get_camera_extrinsics_zju_mocap_refine`
+Pins `moss_tpu.render.novel_view` against the genuine
+`get_camera_extrinsics_zju_mocap_refine`
 (/root/reference/scene/dataset_readers.py:509-538) and
-`get_camera_extrinsics_monocap` (:268-297) — including the OpenGL->COLMAP
-axis flip the readers pre-multiply (diag(1,-1,-1,1), :628 ZJU / :375
-MonoCap). The transcription below is the TEST ORACLE, written from the
-reference's published math, so a shared misreading in the library cannot
-self-verify.
+`get_camera_extrinsics_monocap` (:268-297), imported with CUDA-only deps
+stubbed (the test_deform_parity.py / test_mlps_parity.py pattern — public
+untrusted content: we execute its *camera math*, nothing else), plus the
+OpenGL->COLMAP axis flip the readers pre-multiply (diag(1,-1,-1,1), :628 ZJU
+/ :375 MonoCap). Executing the reference rather than transcribing it means a
+shared misreading cannot self-verify.
 """
 import dataclasses
+import sys
+import types
 
 import numpy as np
 import pytest
@@ -21,55 +25,47 @@ from moss_tpu.render.novel_view import (
 )
 
 
-# --- oracle: direct transcription of the reference formulas ---------------
+def _import_reference_dataset_readers():
+    for name in [
+        "open3d", "knn_cuda", "pytorch3d", "pytorch3d.transforms",
+        "simple_knn", "simple_knn._C", "plyfile",
+    ]:
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    sys.modules["knn_cuda"].KNN = lambda k=1, transpose_mode=True: None
+    sys.modules["pytorch3d.transforms"].matrix_to_quaternion = None
+    sys.modules["pytorch3d"].transforms = sys.modules["pytorch3d.transforms"]
+    sys.modules["simple_knn._C"].distCUDA2 = None
+    sys.modules["simple_knn"]._C = sys.modules["simple_knn._C"]
+    if not hasattr(sys.modules["plyfile"], "PlyData"):
+        sys.modules["plyfile"].PlyData = None
+        sys.modules["plyfile"].PlyElement = None
+    import torch
 
-def _ref_lookat(eye, at, up):
-    def norm(arr):
-        return arr / np.linalg.norm(arr)
-
-    zaxis = norm(at - eye)
-    xaxis = norm(np.cross(zaxis, up))
-    yaxis = np.cross(xaxis, zaxis)
-    return np.array([
-        [xaxis[0], xaxis[1], xaxis[2], -np.dot(xaxis, eye)],
-        [yaxis[0], yaxis[1], yaxis[2], -np.dot(yaxis, eye)],
-        [-zaxis[0], -zaxis[1], -zaxis[2], np.dot(zaxis, eye)],
-        [0, 0, 0, 1],
-    ])
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import scene.dataset_readers as dr
+    return dr
 
 
-def _ref_fix_eye(phi, theta, camera_distance):
-    return np.array([
-        camera_distance * np.sin(theta) * np.cos(phi),
-        camera_distance * np.sin(theta) * np.sin(phi),
-        camera_distance * np.cos(theta),
-    ])
+_dr = _import_reference_dataset_readers()
 
-
+# the flip both readers pre-multiply onto the val extrinsics
+# (dataset_readers.py:628 ZJU, :375 MonoCap)
 _FLIP = np.array([[1, 0, 0, 0], [0, -1, 0, 0], [0, 0, -1, 0], [0, 0, 0, 1]],
                  np.float64)
 
 
 def _ref_zju_w2c(view_index, camera_view_num=36):
-    # dataset_readers.py:534-538 + the :628 flip
-    eye = _ref_fix_eye(
-        np.pi + 2 * np.pi * view_index / camera_view_num + 1e-6,
-        np.pi / 2 + np.pi / 12 + 1e-6, camera_distance=2,
-    ).astype(np.float32) + np.array([0, 0, -0.8]).astype(np.float32)
-    at = np.array([0, 0, -0.8]).astype(np.float32)
-    ext = _ref_lookat(eye, at, np.array([0, 0, -1])).astype(np.float32)
+    ext = _dr.get_camera_extrinsics_zju_mocap_refine(
+        view_index, val=True, camera_view_num=camera_view_num)
     return np.matmul(_FLIP, ext)
 
 
 def _ref_monocap_w2c(view_index, camera_view_num=36):
-    # dataset_readers.py:292-296 + the :375 flip
-    at = np.array([0, 0.8, 0]).astype(np.float32)
-    eye = _ref_fix_eye(
-        np.pi + np.pi / 12 + 1e-6,
-        -np.pi / 2 + 2 * np.pi * view_index / camera_view_num + 1e-6,
-        camera_distance=3,
-    ).astype(np.float32) + at
-    ext = _ref_lookat(eye, at, np.array([0, 1, 0])).astype(np.float32)
+    ext = _dr.get_camera_extrinsics_monocap(
+        view_index, val=True, camera_view_num=camera_view_num)
     return np.matmul(_FLIP, ext)
 
 
