@@ -42,7 +42,10 @@ def main():
     from moss_tpu.train.trainer import Trainer
 
     scene = make_scene(n_verts=6890)
-    frames, _ = make_frames(scene, n_frames=3, H=512, W=512, crop=448)
+    import os
+
+    HW = int(os.environ.get("MOSS_BENCH_SHAPE", "512"))
+    frames, _ = make_frames(scene, n_frames=3, H=HW, W=HW, crop=min(448, HW))
     cfg = Config(model=ModelConfig(sh_degree=3, capacity=46080,
                                    n_init_points=6890))
     tr = Trainer(scene, frames[:2], frames[2:], cfg, crop_hw=(448, 448))
@@ -63,7 +66,7 @@ def main():
 
     dt = queued_time(cached_render, frame, transforms, translation)
     print(f"eval render: {dt * 1e3:.2f} ms/frame = {1.0 / dt:.1f} FPS "
-          f"(512x512, 46k cap, cached-transform MLP-free path)")
+          f"({HW}x{HW}, 46k cap, cached-transform MLP-free path)")
 
     # full path (MLPs + deform) for comparison — what a live viewer
     # driving novel poses would pay
