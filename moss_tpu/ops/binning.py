@@ -273,6 +273,19 @@ def _default_slot_budget(NPb: int, G: int, align: int, num_tiles: int,
     )
 
 
+def _npb(P: int, pair_budget: int, num_tiles: int,
+         max_tiles_per_gaussian: int, align: int) -> int:
+    """The ONE NPb rule (_pair_keys step 4): caller budget or the
+    4P + 64*num_subtiles default, align-rounded, capped at the full P*B
+    table. Every public budget helper and the runtime path call this — the
+    formula must never be duplicated again (a drifted copy silently breaks
+    the trainer's default-comparison decisions)."""
+    if pair_budget == 0:
+        pair_budget = 4 * P + 64 * num_tiles
+    return min(((pair_budget + align - 1) // align) * align,
+               P * max_tiles_per_gaussian)
+
+
 def default_slot_budget(P: int, height: int, width: int, tile_h: int,
                         tile_w: int, groups: int = 1,
                         max_tiles_per_gaussian: int = 16,
@@ -284,10 +297,7 @@ def default_slot_budget(P: int, height: int, width: int, tile_h: int,
     grid_w_sup = -(-width // tile_w)
     num_tiles = grid_h * grid_w_sup * G
     num_super = grid_h * grid_w_sup
-    if pair_budget == 0:
-        pair_budget = 4 * P + 64 * num_tiles
-    NPb = min(((pair_budget + align - 1) // align) * align,
-              P * max_tiles_per_gaussian)
+    NPb = _npb(P, pair_budget, num_tiles, max_tiles_per_gaussian, align)
     return _default_slot_budget(NPb, G, align, num_tiles, num_super)
 
 
@@ -301,9 +311,7 @@ def default_pair_budget(P: int, height: int, width: int, tile_h: int,
     analog of default_slot_budget; keep in sync with _pair_keys step 4)."""
     grid_h = -(-height // tile_h)
     num_tiles = grid_h * (-(-width // tile_w)) * groups
-    default = 4 * P + 64 * num_tiles
-    return min(((default + align - 1) // align) * align,
-               P * max_tiles_per_gaussian)
+    return _npb(P, 0, num_tiles, max_tiles_per_gaussian, align)
 
 
 def worst_case_slot_budget(P: int, height: int, width: int, tile_h: int,
@@ -321,10 +329,7 @@ def worst_case_slot_budget(P: int, height: int, width: int, tile_h: int,
     grid_h = -(-height // tile_h)
     grid_w_sup = -(-width // tile_w)
     num_super = grid_h * grid_w_sup
-    if pair_budget == 0:
-        pair_budget = 4 * P + 64 * (num_super * G)
-    NPb = min(((pair_budget + align - 1) // align) * align,
-              P * max_tiles_per_gaussian)
+    NPb = _npb(P, pair_budget, num_super * G, max_tiles_per_gaussian, align)
     return G * NPb + G * align * num_super
 
 
@@ -455,10 +460,7 @@ def _pair_keys(mean2d, conic, opacity, depth, radius, valid,
     # downstream gather/scatter/kernel costs all scale with NPb (the backward
     # scatter-add in particular is superlinear in N — 1.5 ms at 159k vs
     # 4.8 ms at 317k rows measured). Drops are counted in `overflow`.
-    NP_all = P * B
-    if pair_budget == 0:
-        pair_budget = 4 * P + 64 * num_tiles
-    NPb = min(((pair_budget + align - 1) // align) * align, NP_all)
+    NPb = _npb(P, pair_budget, num_tiles, B, align)
     keys_b = key_sorted[:NPb]
 
     # 5. per-tile ranges on packed keys directly

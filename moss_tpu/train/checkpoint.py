@@ -186,7 +186,9 @@ def load_reference_layout(model_path: str, iteration: int, ts) -> Any:
             # (scene/__init__.py:119-123) — convert weight-for-weight
             import torch
 
-            ckpt = torch.load(mlp_pth, map_location="cpu")
+            # weights_only: the payload is plain tensor state dicts, and an
+            # externally-produced .pth is untrusted pickle otherwise
+            ckpt = torch.load(mlp_pth, map_location="cpu", weights_only=True)
             params["mlps"] = convert_torch_mlp_state(
                 ckpt["Autoregression"], ckpt["CrossAttention_lbs"])
         else:

@@ -145,14 +145,20 @@ def active_sh_degree(step, max_degree: int):
     return jnp.minimum(step // 1000, max_degree)
 
 
-def make_train_many(step_fn):
+def make_train_many(step_fn, max_sh_degree: Optional[int] = None):
     """Wrap a train step so N iterations run in ONE device dispatch.
 
     On a remote/TPU-pod setup the per-dispatch host round trip (~100 ms over
     a tunnel) dwarfs the ~27 ms step; lax.scan over device-staged frames makes
     training device-bound. Frames: a stacked Frame pytree (leading dim F);
     `order` is the shuffled frame-index sequence for this chunk (K,).
-    Densification and SH-degree changes happen between chunks on the host.
+    Densification happens between chunks on the host.
+
+    With max_sh_degree given, the SH warmup degree is computed PER STEP from
+    the traced ts.step (it = step + 1; degree bumps every 1000 iterations,
+    train_ZJU.py:85-86) — exact even when a scan block spans a 1000-multiple
+    (a per-block degree would feed the boundary step a stale mask). Without
+    it, the caller-passed sh_degree applies to the whole chunk.
     """
 
     @jax.jit
@@ -164,7 +170,9 @@ def make_train_many(step_fn):
                 jax.tree.map(lambda x: x[idx], gt_lpips_feats)
                 if gt_lpips_feats is not None else None
             )
-            ts, logs = step_fn(ts, frame, sh_degree, feats)
+            deg = (active_sh_degree(ts.step + 1, max_sh_degree)
+                   if max_sh_degree is not None else sh_degree)
+            ts, logs = step_fn(ts, frame, deg, feats)
             return ts, logs
 
         ts, logs_seq = jax.lax.scan(body, ts, order)

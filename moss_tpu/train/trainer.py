@@ -543,6 +543,9 @@ class Trainer:
         if dispatch_engine == "scan" and self.mesh is not None:
             # the mesh path already trains device-resident with queued
             # dispatch and zero per-step host tensor work
+            print("[trainer] dispatch_engine='scan' is single-chip only — "
+                  "mesh mode uses the queued engine (device-resident frames, "
+                  "zero per-step host tensor work)")
             dispatch_engine = "queued"
         assert dispatch_engine in ("queued", "scan", "eager"), dispatch_engine
         iters = iterations or cfg.optim.iterations
@@ -643,40 +646,16 @@ class Trainer:
                 )
                 return logs
 
-        if dispatch_engine == "queued" or self.mesh is not None:
-            # Queued async dispatch: between host boundaries every step is
-            # dispatched without any device fetch, so the per-step host round
-            # trip is hidden behind device execution; the single fetch at the
-            # boundary (host_work's logs) drains the queue. Measured FASTER
-            # than a lax.scan of the same step (17.6 vs 27.7 ms/iter at the
-            # reference shape — the scan's loop-carried state costs more than
-            # async dispatch does) and it compiles ONE program total.
-            prev = 0
-            for bound in self._host_boundaries(iters, eval_iters):
-                if bound > prev:
-                    logs = None
-                    ovf = None  # device-side chunk total — no silent caps:
-                    # the boundary step's logs alone would only SAMPLE the
-                    # overflow counter; a mid-chunk frame can drop pairs
-                    # while the boundary frame doesn't
-                    for it in range(prev + 1, bound + 1):
-                        logs = dispatch(it)
-                        o = logs.get("raster_overflow")
-                        if o is not None:
-                            ovf = o if ovf is None else ovf + o
-                    if ovf is not None:
-                        logs = dict(logs)
-                        logs["raster_overflow"] = ovf
-                    host_work(bound, logs)
-                    prev = bound
-        elif dispatch_engine == "scan":
+        if dispatch_engine == "scan":
             # Fixed-size lax.scan blocks (PERF.md "Wall-clock at full scale"):
             # the scan length is BAKED into the compiled program, so blocks
             # use the gcd of the boundary gaps — one compile serves the whole
-            # schedule. One host round trip per block instead of per step
-            # makes this engine immune to a slow/degraded host<->device link;
-            # blocks never straddle a boundary (gcd divides every gap), so
-            # the per-block SH degree is exact.
+            # schedule. One host round trip per BLOCK instead of per step
+            # makes this engine immune to a slow/degraded host<->device link.
+            # The SH warmup degree is computed per step from the traced
+            # ts.step inside the scan (a per-block degree would feed the
+            # 1000-multiple boundary step a stale mask — the reference bumps
+            # the degree BEFORE that iteration, train_ZJU.py:85-86).
             import math
 
             from .train_step import make_train_many
@@ -685,23 +664,51 @@ class Trainer:
             gaps = [b - a for a, b in zip([0] + boundaries, boundaries)
                     if b > a]
             block = math.gcd(*gaps) if gaps else iters
-            many_fn = make_train_many(self.step_fn)
-            version = self._step_version
+            scan_state = {
+                "fn": make_train_many(self.step_fn, cfg.model.sh_degree),
+                "version": self._step_version,
+            }
+
+            def run_segment(prev, bound):
+                if self._step_version != scan_state["version"]:
+                    # a raster budget grew at a boundary — rebuild
+                    scan_state["fn"] = make_train_many(
+                        self.step_fn, cfg.model.sh_degree)
+                    scan_state["version"] = self._step_version
+                logs = None
+                for s in range(prev, bound, block):
+                    chunk = jnp.asarray(order[s:s + block, 0])
+                    self.ts, logs = scan_state["fn"](
+                        self.ts, frames_stacked, chunk, 0, gt_feats_all
+                    )
+                    yield logs
+
+        else:
+            # Queued async dispatch: between host boundaries every step is
+            # dispatched without any device fetch, so the per-step host round
+            # trip is hidden behind device execution; the single fetch at the
+            # boundary (host_work's logs) drains the queue. Measured FASTER
+            # than a lax.scan of the same step (17.6 vs 27.7 ms/iter at the
+            # reference shape — the scan's loop-carried state costs more than
+            # async dispatch does) and it compiles ONE program total.
+            def run_segment(prev, bound):
+                for it in range(prev + 1, bound + 1):
+                    yield dispatch(it)
+
+        if dispatch_engine == "eager":
+            for it in range(1, iters + 1):
+                logs = dispatch(it)
+                host_work(it, logs if it % 10 == 0 else None)
+        else:
             prev = 0
-            for bound in boundaries:
+            for bound in self._host_boundaries(iters, eval_iters):
                 if bound > prev:
-                    if self._step_version != version:
-                        # a raster budget grew at a boundary — rebuild
-                        many_fn = make_train_many(self.step_fn)
-                        version = self._step_version
                     logs = None
-                    ovf = None
-                    for s in range(prev, bound, block):
-                        deg = active_sh_degree(s + 1, cfg.model.sh_degree)
-                        chunk = jnp.asarray(order[s:s + block, 0])
-                        self.ts, logs = many_fn(
-                            self.ts, frames_stacked, chunk, deg, gt_feats_all
-                        )
+                    ovf = None  # device-side chunk total — no silent caps:
+                    # the boundary step's logs alone would only SAMPLE the
+                    # overflow counter; a mid-chunk frame/block can drop
+                    # pairs while the boundary one doesn't
+                    for logs in run_segment(prev, bound):
                         o = logs.get("raster_overflow")
                         if o is not None:
                             ovf = o if ovf is None else ovf + o
@@ -710,10 +717,6 @@ class Trainer:
                         logs["raster_overflow"] = ovf
                     host_work(bound, logs)
                     prev = bound
-        else:
-            for it in range(1, iters + 1):
-                logs = dispatch(it)
-                host_work(it, logs if it % 10 == 0 else None)
         return self.metrics_history
 
     # ------------------------------------------------------------------

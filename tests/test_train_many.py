@@ -39,3 +39,35 @@ def test_fused_equals_stepwise():
     )
     np.testing.assert_allclose(float(logs_b["loss"]), float(logs_a["loss"]), rtol=1e-5)
     assert int(ts_b.step) == len(order)
+
+
+def test_scan_sh_degree_is_per_step():
+    """A scan block that spans a 1000-multiple must bump the SH degree ON
+    the 1000th iteration (the reference's oneupSHdegree runs before that
+    step, train_ZJU.py:85-86) — with max_sh_degree given, make_train_many
+    derives the degree from the traced ts.step instead of a stale per-block
+    constant."""
+    import jax.numpy as jnp
+
+    from moss_tpu.train.train_step import TrainState, make_train_many
+
+    degs = []
+
+    def fake_step(ts, frame, deg, feats=None):
+        return ts._replace(step=ts.step + 1), {"deg": deg}
+
+    many = make_train_many(fake_step, max_sh_degree=3)
+    frames = {"x": jnp.zeros((2, 1))}
+    # steps 996..1000 (ts.step starts at 995): iterations 996-999 -> deg 0,
+    # iteration 1000 -> deg 1; the chunk's LAST logs carry the boundary step
+    ts = TrainState({}, None, None, jnp.asarray(995, jnp.int32))
+    ts, logs = many(ts, frames, jnp.zeros(5, jnp.int32), 0)
+    assert int(logs["deg"]) == 1 and int(ts.step) == 1000
+    # a chunk strictly before the boundary stays at the old degree
+    ts2 = TrainState({}, None, None, jnp.asarray(994, jnp.int32))
+    _, logs2 = many(ts2, frames, jnp.zeros(5, jnp.int32), 0)
+    assert int(logs2["deg"]) == 0
+    # degree saturates at max_sh_degree
+    ts3 = TrainState({}, None, None, jnp.asarray(8000, jnp.int32))
+    _, logs3 = many(ts3, frames, jnp.zeros(5, jnp.int32), 0)
+    assert int(logs3["deg"]) == 3

@@ -48,7 +48,8 @@ def main():
     frames, _ = make_frames(scene, n_frames=3, H=HW, W=HW, crop=min(448, HW))
     cfg = Config(model=ModelConfig(sh_degree=3, capacity=46080,
                                    n_init_points=6890))
-    tr = Trainer(scene, frames[:2], frames[2:], cfg, crop_hw=(448, 448))
+    tr = Trainer(scene, frames[:2], frames[2:], cfg,
+                 crop_hw=(min(448, HW), min(448, HW)))
     frame = frames[2]
     out = tr.render_eval(frame)
     transforms, translation = out["transforms"], out["translation"]
