@@ -94,13 +94,24 @@ def main():
     # heuristic overshoots the measured need by ~40%. Drops (impossible for
     # this exact cloud) would be counted in overflow, never silent.
     from moss_tpu.ops.binning import measure_slot_need
-    need = int(jax.jit(
-        lambda p: measure_slot_need(
-            p.mean2d, p.conic, p.opacity, p.depth, p.radius, p.valid,
-            H, W, rt.TILE_H, rt.TILE_W, groups=rt.DEFAULT_GROUPS,
-            radius_xy=p.radius_xy,
-        )["need"]
-    )(proj))
+
+    def _measure(p, B):
+        return jax.jit(
+            lambda p: jax.tree.map(jnp.asarray, measure_slot_need(
+                p.mean2d, p.conic, p.opacity, p.depth, p.radius, p.valid,
+                H, W, rt.TILE_H, rt.TILE_W, max_tiles_per_gaussian=B,
+                pair_budget=P * B, groups=rt.DEFAULT_GROUPS,
+                radius_xy=p.radius_xy,
+            )), static_argnums=()
+        )(p)
+
+    m0 = _measure(proj, 16)
+    # rect cap sized to the scene's measured max rect (exact — overflow would
+    # be counted): the key sort runs over P*B entries, so a tight B cuts it
+    # (737k -> ~460k at the bench scene's max_rect 10; B need not be pow2)
+    max_tiles = max(int(m0["max_rect"]), 1)
+    need = int(_measure(proj, max_tiles)["need"]) if max_tiles != 16 \
+        else int(m0["need"])
     slot_budget = -(-int(need * 1.06) // 16384) * 16384
 
     def loss_with(raster_fn, fields, pr):
@@ -125,7 +136,8 @@ def main():
 
     # Pallas fwd+bwd
     def raster_sized(pr, bgc, h, w):
-        return rt.rasterize_tpu(pr, bgc, h, w, slot_budget=slot_budget)
+        return rt.rasterize_tpu(pr, bgc, h, w, slot_budget=slot_budget,
+                                max_tiles_per_gaussian=max_tiles)
 
     f_pallas = gradsum(raster_sized)
     dt_pallas = _queued_time(f_pallas, args, proj, n=10)

@@ -107,6 +107,7 @@ class Trainer:
         self._slot_budget = 0
         self._pair_budget = 0   # 0 = binning default NPb
         self._max_tiles = 16    # max_tiles_per_gaussian (reference has no cap)
+        self._budgets_installed = False
         self._need_fns: Dict = {}
         self._step_version = 0
         self.rasterize_fn = rasterize_fn if rasterize_fn is not None else (
@@ -305,6 +306,22 @@ class Trainer:
         stats = np.max(
             np.stack([self._probe_slot_need(f, B) for f in probe]), axis=0
         )
+        lowered = False
+        if (not self._budgets_installed and not grow_from and B == 16
+                and stats[2] > 0 and -(-int(stats[2]) * 5 // 4) < 16):
+            # INIT ONLY (before anything is installed — budgets never shrink
+            # afterwards): the measured max rect sits well under the default
+            # cap, and the key sort runs over P*B entries, so a tight B cuts
+            # it directly (measured: B 16 -> 10 at the bench scene is
+            # 10.88 -> ~10.3 ms fwd+bwd). 1.25x headroom absorbs view/densify
+            # variation; if a later frame still exceeds it, the rect drops
+            # are counted in raster_overflow and the self-heal regrows.
+            # B need not be a power of two.
+            B = max(8, -(-int(stats[2]) * 5 // 4))
+            lowered = True
+            stats = np.max(
+                np.stack([self._probe_slot_need(f, B) for f in probe]), axis=0
+            )
         if stats[2] > B:
             # splats touch more tiles than the rect cap — re-probe with the
             # true cap so need/total_live are exact (max_rect itself is
@@ -338,7 +355,7 @@ class Trainer:
         bucket = (32768 if self._default_budget_cap(
             self._pair_budget, self._max_tiles) >= 4 * 32768 else 2048)
         budget = -(-int(need * factor) // bucket) * bucket
-        max_tiles = max(B, self._max_tiles)
+        max_tiles = B if lowered else max(B, self._max_tiles)
         # pair budget: 0 means "binning default". The default grows with
         # max_tiles, so switching a previously-explicit budget back to 0 is
         # legal exactly when the default now covers the old explicit value
@@ -371,8 +388,9 @@ class Trainer:
                 return
             budget = max(budget, self._slot_budget)  # monotone
         else:
+            # != covers growth AND the init-only rect-cap lowering
             grew = (pair_budget != self._pair_budget
-                    or max_tiles > self._max_tiles)
+                    or max_tiles != self._max_tiles)
             if budget <= self._slot_budget and not grew:
                 return
             # above the safe default there is nothing to gain — keep default
@@ -390,6 +408,7 @@ class Trainer:
         self._slot_budget = slot_budget
         self._pair_budget = pair_budget
         self._max_tiles = max_tiles
+        self._budgets_installed = True
         if self.mesh is None:
             self.rasterize_fn = functools.partial(
                 rasterize_tpu, slot_budget=slot_budget,
