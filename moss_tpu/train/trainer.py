@@ -316,12 +316,11 @@ class Trainer:
             # 10.88 -> ~10.3 ms fwd+bwd). 1.25x headroom absorbs view/densify
             # variation; if a later frame still exceeds it, the rect drops
             # are counted in raster_overflow and the self-heal regrows.
-            # B need not be a power of two.
+            # B need not be a power of two. No re-probe: the lowered B still
+            # covers every probed rect (B >= max_rect), so pair_live — and
+            # with it need/total_live — is bit-identical to the B=16 probe.
             B = max(8, -(-int(stats[2]) * 5 // 4))
             lowered = True
-            stats = np.max(
-                np.stack([self._probe_slot_need(f, B) for f in probe]), axis=0
-            )
         if stats[2] > B:
             # splats touch more tiles than the rect cap — re-probe with the
             # true cap so need/total_live are exact (max_rect itself is
@@ -377,6 +376,13 @@ class Trainer:
             # worst_case_slot_budget the slot layout cannot drop anything,
             # so remaining overflow is rect/NPb drops and growing further
             # would only recompile forever.
+            # any observed overflow permanently revokes an init-lowered rect
+            # cap: a transient/params-drifted rect overflow might not
+            # reproduce in the re-probe (stats[2] <= B now), and growing the
+            # slot budget instead would recompile per event without ever
+            # healing the rect drops — the lowering's ~5% win is not worth
+            # an unhealable path
+            max_tiles = max(max_tiles, 16)
             hard = self._max_slot_budget(pair_budget, max_tiles)
             budget = min(max(budget, grow_from + bucket), hard)
             if (budget <= self._slot_budget
@@ -410,12 +416,24 @@ class Trainer:
         self._max_tiles = max_tiles
         self._budgets_installed = True
         if self.mesh is None:
-            self.rasterize_fn = functools.partial(
+            train_raster_fn = functools.partial(
                 rasterize_tpu, slot_budget=slot_budget,
                 pair_budget=pair_budget, max_tiles_per_gaussian=max_tiles,
             )
+            # eval / GUI / render_eval render UNPROBED cameras (held-out
+            # test views, user-driven viewer poses) and their outputs carry
+            # no overflow hook the self-heal could watch — a rect cap
+            # lowered below the 16 default from an 8-train-frame probe must
+            # not silently clip them; they keep >= the default cap (the
+            # measured slot/pair budgets stay: the probe's 1.5-2x headroom
+            # covered eval views before this round too)
+            self.rasterize_fn = functools.partial(
+                rasterize_tpu, slot_budget=slot_budget,
+                pair_budget=pair_budget,
+                max_tiles_per_gaussian=max(16, max_tiles),
+            )
             _, self.step_fn = make_train_step(
-                self.scene, self.cfg, self.rasterize_fn, self.lpips_params,
+                self.scene, self.cfg, train_raster_fn, self.lpips_params,
                 *self.crop_hw, spatial_lr_scale=self.extent,
             )
             self._eval_fn = self._build_eval_fn()
