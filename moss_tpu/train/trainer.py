@@ -871,6 +871,19 @@ class Trainer:
 
     def load(self, path: str):
         self.ts = ckpt.restore_checkpoint(path, self.ts)
+        # budgets were probed on the INIT cloud at construction; a checkpoint
+        # can hold a far denser one (the render drivers build a 6890-point
+        # init then load a ~46k trained cloud — the 2x init headroom does not
+        # cover that growth), and eval renders have no overflow hook the
+        # self-heal could watch — re-probe under the LOADED cloud
+        self._resize_pair_buffer()
+
+    def set_state(self, ts):
+        """Replace the train state from an external source (e.g.
+        checkpoint.load_reference_layout) — same post-load budget re-probe
+        as load()."""
+        self.ts = ts
+        self._resize_pair_buffer()
 
     def resume_latest(self, model_path: str) -> int:
         """Failure recovery (SURVEY.md §5.3): restore the newest periodic

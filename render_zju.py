@@ -130,7 +130,8 @@ def render_subject(args, subject: str, iteration: int):
         # and this repo's own save_reference_layout trees
         from moss_tpu.train.checkpoint import load_reference_layout
 
-        trainer.ts = load_reference_layout(cfg.model_path, iteration, trainer.ts)
+        trainer.set_state(
+            load_reference_layout(cfg.model_path, iteration, trainer.ts))
 
     bg = jnp.ones(3) if args.white_background else jnp.zeros(3)
     lp = lpips_jax.get_default_params()

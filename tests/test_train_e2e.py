@@ -527,3 +527,49 @@ class TestTorchCkptInterop:
         shutil.rmtree(tmp_path / "mlp_ckpt")
         with _pytest.raises(FileNotFoundError, match="mlp_ckpt"):
             load_reference_layout(str(tmp_path), 1, tr.ts)
+
+
+def test_load_reprobes_budgets_for_denser_cloud(tmp_path):
+    """Trainer.load() must re-probe the raster budgets under the LOADED
+    cloud: the render drivers build a small-init trainer (test_frames[:1])
+    and then load a trained checkpoint whose cloud is several times denser —
+    budgets probed on the init cloud would silently truncate eval renders
+    (no overflow hook exists on that path). Asserts the post-load budget
+    covers the loaded cloud's measured need and the render matches the
+    original trainer bit-for-bit."""
+    from moss_tpu.render.render import render_frame
+
+    scene = make_scene(n_verts=300)
+    frames, _ = make_frames(scene, n_frames=2, H=96, W=128, crop=64)
+    cfg = Config(
+        model=ModelConfig(sh_degree=1, capacity=2048, n_init_points=300),
+        optim=OptimConfig(
+            iterations=40, densify_from_iter=5, densify_until_iter=35,
+            densification_interval=5, densify_grad_threshold=1e-6,
+            opacity_reset_interval=10_000,
+        ),
+    )
+    tr = Trainer(scene, frames, frames[:1], cfg, crop_hw=(64, 64))
+    tr.train(40, eval_iters=[])
+    assert int(tr.ts.gstate.num_valid) > 600  # densify grew the cloud
+    path = str(tmp_path / "ck.npz")
+    tr.save(path)
+
+    cfg2 = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, n_init_points=60))
+    tr2 = Trainer(scene, frames[:1], frames[:1], cfg2, crop_hw=(64, 64))
+    pre_budget = tr2._slot_budget
+    tr2.load(path)
+    # the re-probe sized the budget for the DENSE loaded cloud
+    need = int(tr2._probe_slot_need(frames[0], tr2._max_tiles)[0])
+    eff = tr2._slot_budget or tr2._default_budget_cap(
+        tr2._pair_budget, tr2._max_tiles)
+    assert eff >= need, (pre_budget, tr2._slot_budget, need)
+    out = render_frame(
+        tr2.ts.params["gauss"], tr2.ts.gstate.valid,
+        tr2.ts.params.get("mlps"), scene, frames[0].smpl_params,
+        frames[0].camera, jnp.zeros(3), 1, rasterize_fn=tr2.rasterize_fn)
+    assert int(out["overflow"]) == 0
+    ref = tr.render_eval(frames[0])["render"]
+    np.testing.assert_allclose(np.asarray(out["render"]), np.asarray(ref),
+                               atol=1e-5)
