@@ -45,7 +45,9 @@ def main():
     m0 = tr.evaluate()
     print(f"eval before: {m0}")
     t1 = time.time()
-    hist = tr.train(3000)
+    engine = __import__("os").environ.get("MOSS_E2E_DISPATCH", "queued")
+    print(f"dispatch engine: {engine}")
+    hist = tr.train(3000, dispatch_engine=engine)
     t2 = time.time()
     for m in hist:
         print({k: (round(v, 4) if isinstance(v, float) else v)
