@@ -573,3 +573,22 @@ def test_load_reprobes_budgets_for_denser_cloud(tmp_path):
     ref = tr.render_eval(frames[0])["render"]
     np.testing.assert_allclose(np.asarray(out["render"]), np.asarray(ref),
                                atol=1e-5)
+
+
+def test_eager_dispatch_engine():
+    """The eager engine (per-step fetches, debugging) still trains."""
+    scene = make_scene(n_verts=200)
+    frames, _ = make_frames(scene, n_frames=2, H=64, W=64)
+    cfg = Config(
+        model=ModelConfig(sh_degree=1, capacity=256, n_init_points=200),
+        optim=OptimConfig(iterations=5),
+        pipe=PipelineConfig(rasterizer="reference"),
+    )
+    seen = []
+    tr = Trainer(scene, frames, frames[:1], cfg,
+                 log_fn=lambda it, lg: seen.append(it))
+    tr.train(5, eval_iters=[], dispatch_engine="eager")
+    assert int(tr.ts.step) == 5
+    tr2 = Trainer(scene, frames, frames[:1], cfg)
+    tr2.train(5, eval_iters=[], fused_dispatch=False)  # back-compat spelling
+    assert int(tr2.ts.step) == 5

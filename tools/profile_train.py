@@ -142,6 +142,34 @@ def main():
         dt = queued_time(fn, *args)
         print(f"{name:24s} {dt*1e3:8.2f} ms")
 
+    # relay-robust FULL-step number: one dispatch covers K steps, so the
+    # per-dispatch jitter that corrupts the small-stage rows above (PERF.md
+    # "Train-step timing caveats", r3: ssim measured 0.00 ms on a degraded
+    # relay) amortizes 20x. Trust THIS row across sessions.
+    from moss_tpu.parallel.sharded import stack_frames
+    from moss_tpu.train.train_step import make_train_many
+
+    stacked = stack_frames(frames)
+    gt = tr._stage_gt_lpips_feats(stacked=True)
+    many = make_train_many(tr.step_fn, cfg.model.sh_degree)
+    K = 20
+    order = jnp.asarray(np.tile(np.arange(len(frames)), K)[:K].astype(np.int32))
+
+    def scan_steps(ts):
+        ts2, logs = many(ts, stacked, order, 0, gt)
+        return logs["loss"], ts2
+
+    _, ts = scan_steps(tr.ts)  # compile
+    _, ts = scan_steps(ts)
+    n = 3
+    t0 = time.time()
+    for _ in range(n):
+        l, ts = scan_steps(ts)
+        _ = float(l)
+    per_step = (time.time() - t0) / (n * K)
+    print(f"{'FULL step (scan-of-20)':24s} {per_step*1e3:8.2f} ms  "
+          f"(incl. ~10 ms/iter scan loop-carried overhead)")
+
     stats = jax.local_devices()[0].memory_stats() or {}
     peak = stats.get("peak_bytes_in_use")
     limit = stats.get("bytes_limit")
