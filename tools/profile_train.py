@@ -159,14 +159,22 @@ def main():
         ts2, logs = many(ts, stacked, order, 0, gt)
         return logs["loss"], ts2
 
-    _, ts = scan_steps(tr.ts)  # compile
-    _, ts = scan_steps(ts)
+    _, ts0 = scan_steps(tr.ts)  # compile
+
+    def timed_blocks(n):
+        ts = ts0
+        l = None
+        t0 = time.time()
+        for _ in range(n):
+            l, ts = scan_steps(ts)
+        _ = float(l)  # ONE fetch per window — cancelled by the difference
+        return time.time() - t0
+
+    timed_blocks(1)  # warm
     n = 3
-    t0 = time.time()
-    for _ in range(n):
-        l, ts = scan_steps(ts)
-        _ = float(l)
-    per_step = (time.time() - t0) / (n * K)
+    t1 = timed_blocks(n)
+    t2 = timed_blocks(2 * n)
+    per_step = max(t2 - t1, 1e-9) / (n * K)
     print(f"{'FULL step (scan-of-20)':24s} {per_step*1e3:8.2f} ms  "
           f"(incl. ~10 ms/iter scan loop-carried overhead)")
 
