@@ -490,7 +490,18 @@ def measure_slot_need(mean2d, conic, opacity, depth, radius, valid,
     e.g. once per scene, re-measuring (and recompiling, like the reference
     re-allocates) if `overflow` ever reports drops.
 
-    Returns a dict of () int32 scalars: need, live, npb.
+    Returns a dict of () int32 scalars:
+      need         aligned slot need of the supertile-interleaved layout
+      live         live (non-padding) slots in that layout
+      npb          the NPb the probe ran under
+      total_live   live PAIR count before the NPb truncation — what the
+                   trainer sizes pair_budget from; exact only when the
+                   probe's pair_budget >= P * max_tiles_per_gaussian
+                   (nothing truncated), which is how _resize_pair_buffer
+                   and bench.py call it
+      max_rect     max subtile-rect area over valid Gaussians, PRE-cap
+                   (exact regardless of max_tiles) — sizes the rect cap
+      rect_overflow  tiles dropped by the max_tiles rect cap
     """
     keys, dims = _pair_keys(
         mean2d, conic, opacity, depth, radius, valid, height, width,

@@ -108,6 +108,7 @@ class Trainer:
         self._pair_budget = 0   # 0 = binning default NPb
         self._max_tiles = 16    # max_tiles_per_gaussian (reference has no cap)
         self._budgets_installed = False
+        self._init_probe_done = False  # gates the init-only rect-cap lowering
         self._need_fns: Dict = {}
         self._step_version = 0
         self.rasterize_fn = rasterize_fn if rasterize_fn is not None else (
@@ -231,13 +232,9 @@ class Trainer:
         from ..ops import rasterize_tpu as rt
         from ..ops.binning import default_slot_budget
 
-        cam = self.train_frames[0].camera
-        h_budget = (
-            cam.height if self.mesh is None
-            else cam.height // self.mesh.shape["tile"]  # per-band buffer
-        )
+        h_budget, width = self._budget_shape()
         return default_slot_budget(
-            self.ts.params["gauss"].capacity, h_budget, cam.width,
+            self.ts.params["gauss"].capacity, h_budget, width,
             rt.TILE_H, rt.TILE_W, groups=rt.DEFAULT_GROUPS,
             max_tiles_per_gaussian=max_tiles, pair_budget=pair_budget,
         )
@@ -301,16 +298,24 @@ class Trainer:
         the full-scale e2e run, 2x headroom absorbs the growth entirely."""
         if not self._autosize or not self.train_frames:
             return
+        # the init-only rect-cap lowering must be gated on "is this the
+        # FIRST probe", not on _budgets_installed: when the init probe fits
+        # the defaults the function early-returns WITHOUT installing, and a
+        # later densify-boundary resize would otherwise lower the effective
+        # cap from 16 mid-run — exactly the shrink the policy rules out
+        first_probe = not self._init_probe_done
+        self._init_probe_done = True
         probe = self.train_frames if full else self._probe_frames()
         B = self._max_tiles
         stats = np.max(
             np.stack([self._probe_slot_need(f, B) for f in probe]), axis=0
         )
         lowered = False
-        if (not self._budgets_installed and not grow_from and B == 16
+        if (first_probe and not grow_from and B == 16
                 and stats[2] > 0 and -(-int(stats[2]) * 5 // 4) < 16):
-            # INIT ONLY (before anything is installed — budgets never shrink
-            # afterwards): the measured max rect sits well under the default
+            # FIRST PROBE ONLY (budgets never shrink afterwards — even when
+            # that probe installed nothing because the defaults covered it):
+            # the measured max rect sits well under the default
             # cap, and the key sort runs over P*B entries, so a tight B cuts
             # it directly (measured: B 16 -> 10 at the bench scene is
             # 10.88 -> ~10.3 ms fwd+bwd). 1.25x headroom absorbs view/densify
@@ -555,8 +560,15 @@ class Trainer:
         eval_iters=None,
         fused_dispatch: bool = True,
         dispatch_engine: str = "queued",
+        save_fn=None,
     ):
         """Host loop.
+
+        save_fn(iteration), if given, is called at every eval boundary while
+        self.ts still holds THAT iteration's state — the place to write
+        chkpnt{N}/point_cloud/iteration_N artifacts (the reference saves
+        inside the loop, train_ZJU.py:164-166,200; saving after train() returns
+        would label every iteration's artifact with the final model).
 
         dispatch_engine selects how iterations between host boundaries
         (densify/eval/SH changes) reach the device:
@@ -655,6 +667,8 @@ class Trainer:
                 m["iteration"] = it
                 m["elapsed_s"] = time.time() - t0
                 self.metrics_history.append(m)
+                if save_fn is not None:
+                    save_fn(it)
             if self.gui is not None:
                 # SIBR remote-viewer poll (reference train_ZJU.py:67-80).
                 # Polled at host boundaries — queued dispatch means per-iter

@@ -31,12 +31,13 @@ def parse_args():
     p.add_argument("--rasterizer", choices=["pallas", "reference"], default="pallas")
     p.add_argument("--reader", default="zju", choices=["zju", "monocap"])
     p.add_argument("--novel_view", type=int, default=0, metavar="N",
-                   help="free-viewpoint mode: render N orbit views per test "
-                        "pose instead of the captured test views (the "
-                        "reference's novel_view_vis path, "
-                        "dataset_readers.py:509-538); metrics are skipped "
-                        "(no gt exists at novel viewpoints) and PNGs are "
-                        "always saved")
+                   help="free-viewpoint mode: render N orbit views evenly "
+                        "spaced over the full orbit circle per test pose "
+                        "instead of the captured test views (the reference's "
+                        "novel_view_vis path, dataset_readers.py:509-538, "
+                        "which fixes 36 views); metrics are skipped (no gt "
+                        "exists at novel viewpoints) and PNGs are always "
+                        "saved")
     return p.parse_args()
 
 
@@ -61,8 +62,13 @@ def render_subject(args, subject: str, iteration: int):
 
         from moss_tpu.render.novel_view import novel_view_specs
 
+        # camera_view_num = N too: N is "views around the FULL orbit", so
+        # the angle step is 2pi/N — leaving the reference's fixed 36 divisor
+        # would render duplicate views for N > 36 and a partial arc for
+        # N < 36 (N = 36 matches the reference exactly)
         test_specs = novel_view_specs(
-            test_specs, dataset=args.reader, n_views=args.novel_view
+            test_specs, dataset=args.reader, n_views=args.novel_view,
+            camera_view_num=args.novel_view,
         )
         # decode each pose ONCE: the orbit views reuse the base frame's
         # pixels/masks/SMPL (gt is unused at novel viewpoints) and swap in

@@ -592,3 +592,54 @@ def test_eager_dispatch_engine():
     tr2 = Trainer(scene, frames, frames[:1], cfg)
     tr2.train(5, eval_iters=[], fused_dispatch=False)  # back-compat spelling
     assert int(tr2.ts.step) == 5
+
+
+def test_rect_cap_lowering_only_on_first_probe():
+    """r3 review finding: the init-only rect-cap lowering was gated on
+    _budgets_installed, which stays False when the init probe fits the
+    defaults (every early-return path skips _install_budgets) — so a later
+    densify-boundary resize could lower the effective cap from 16 MID-RUN,
+    shrinking a budget the policy says never shrinks. The gate is now
+    "first probe ever", independent of whether that probe installed."""
+    scene = make_scene(n_verts=200)
+    frames, _ = make_frames(scene, n_frames=2, H=64, W=128, crop=48)
+    cfg = Config(model=ModelConfig(sh_degree=1, capacity=256, n_init_points=200))
+    tr = Trainer(scene, frames, frames, cfg, crop_hw=(48, 48))
+    assert tr._init_probe_done  # the constructor probe is the one first probe
+    # recreate the historical bug state: init probe fit the defaults, so
+    # nothing was installed and the default budgets are in force
+    tr._budgets_installed = False
+    tr._slot_budget, tr._pair_budget, tr._max_tiles = 0, 0, 16
+    # a probe that WOULD qualify for lowering (max_rect 4 -> cap 8) on a
+    # first probe must not lower at a densify-boundary resize
+    tr._probe_slot_need = lambda f, B: np.array([100, 10, 4])
+    tr._resize_pair_buffer()
+    # slot-budget growth may legitimately install here; the regression is
+    # the rect cap: it must stay at the default 16, not lower to 8
+    assert tr._max_tiles == 16
+
+
+def test_save_fn_runs_at_eval_boundary_with_that_iterations_state():
+    """r3 review finding: the drivers saved chkpnt{N}/point_cloud/iteration_N
+    AFTER train() returned, so every per-iteration artifact held the FINAL
+    model. train(save_fn=...) now calls back at each eval boundary while
+    trainer.ts holds that iteration's state (reference saves in-loop,
+    train_ZJU.py:164-166,200)."""
+    scene = make_scene(n_verts=200)
+    frames, _ = make_frames(scene, n_frames=2, H=64, W=64)
+    cfg = Config(
+        model=ModelConfig(sh_degree=1, capacity=256, n_init_points=200),
+        optim=OptimConfig(iterations=20),
+        pipe=PipelineConfig(rasterizer="reference"),
+    )
+    tr = Trainer(scene, frames, frames[:1], cfg, crop_hw=(48, 48))
+    seen = {}
+
+    def save_fn(it):
+        seen[it] = (int(tr.ts.step),
+                    np.asarray(tr.ts.params["gauss"].xyz).copy())
+    tr.train(iterations=20, eval_iters=[10, 20], save_fn=save_fn)
+    assert sorted(seen) == [10, 20]
+    assert seen[10][0] == 10 and seen[20][0] == 20
+    # distinct states — not the final model stamped twice
+    assert not np.allclose(seen[10][1], seen[20][1])

@@ -129,8 +129,18 @@ def train_sequence(args, seq: str):
     trainer = Trainer(scene, train_frames, test_specs, cfg, crop_hw=crop_hw,
                       log_fn=log, tb=tb, mesh=mesh, gui=gui,
                       source_path=path)
+    from moss_tpu.train.checkpoint import save_reference_layout
+
+    def save_at_eval(it):
+        # at the eval boundary trainer.ts holds iteration it's state — a
+        # post-train() save would stamp every iteration's artifact with the
+        # final model (reference saves in-loop, train_ZJU.py:164-166,200)
+        trainer.save(os.path.join(cfg.model_path, f"chkpnt{it}.npz"))
+        save_reference_layout(cfg.model_path, it, trainer.ts)
+
     metrics = trainer.train(eval_iters=args.test_iterations,
-                            dispatch_engine=args.dispatch)
+                            dispatch_engine=args.dispatch,
+                            save_fn=save_at_eval)
     for m in metrics:
         from moss_tpu.ops.lpips_jax import result_note
 
@@ -138,10 +148,6 @@ def train_sequence(args, seq: str):
                            m["ssim"], m["lpips"], note=result_note())
         print(f"[{seq}] iter {m['iteration']}: PSNR {m['psnr']:.3f} "
               f"SSIM {m['ssim']:.5f} LPIPSx1e3 {m['lpips'] * 1000:.3f}")
-        trainer.save(os.path.join(cfg.model_path, f"chkpnt{m['iteration']}.npz"))
-        from moss_tpu.train.checkpoint import save_reference_layout
-
-        save_reference_layout(cfg.model_path, m["iteration"], trainer.ts)
     tb.close()
     return metrics
 

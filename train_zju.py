@@ -143,8 +143,21 @@ def train_subject(args, subject: str):
     trainer = Trainer(scene, train_frames, test_specs, cfg, crop_hw=crop_hw,
                       log_fn=log, tb=tb, mesh=mesh, gui=gui,
                       source_path=path)
+    from moss_tpu.train.checkpoint import save_reference_layout
+
+    def save_at_eval(it):
+        # called AT the eval boundary, while trainer.ts holds iteration
+        # it's state — a post-train() save would stamp every iteration's
+        # artifact with the final model (reference saves in-loop,
+        # train_ZJU.py:164-166,200)
+        trainer.save(os.path.join(cfg.model_path, f"chkpnt{it}.npz"))
+        # reference artifact tree (scene/__init__.py:109-123): external 3DGS
+        # tooling walks point_cloud/iteration_N/; render drivers load either
+        save_reference_layout(cfg.model_path, it, trainer.ts)
+
     metrics = trainer.train(eval_iters=args.test_iterations,
-                            dispatch_engine=args.dispatch)
+                            dispatch_engine=args.dispatch,
+                            save_fn=save_at_eval)
     from moss_tpu.ops.lpips_jax import result_note
 
     for m in metrics:
@@ -152,12 +165,6 @@ def train_subject(args, subject: str):
                            m["ssim"], m["lpips"], note=result_note())
         print(f"[{subject}] iter {m['iteration']}: PSNR {m['psnr']:.3f} "
               f"SSIM {m['ssim']:.5f} LPIPSx1e3 {m['lpips'] * 1000:.3f}")
-        trainer.save(os.path.join(cfg.model_path, f"chkpnt{m['iteration']}.npz"))
-        # reference artifact tree (scene/__init__.py:109-123): external 3DGS
-        # tooling walks point_cloud/iteration_N/; render drivers load either
-        from moss_tpu.train.checkpoint import save_reference_layout
-
-        save_reference_layout(cfg.model_path, m["iteration"], trainer.ts)
 
     # PLY export for 3DGS-viewer interop
     from moss_tpu.data.ply import save_ply
