@@ -183,3 +183,30 @@ def test_orbit_cameras_see_the_subject():
             cy, cx = ys.mean(), xs.mean()
             assert abs(cy - H / 2) < H * 0.25 and abs(cx - W / 2) < W * 0.25, (
                 name, idx, "subject far off-center", cy, cx)
+
+
+def test_full_orbit_spacing_with_matching_divisor():
+    """r3 review finding: the render drivers pass camera_view_num = n_views
+    so --novel_view N means N views EVENLY SPACED OVER THE FULL ORBIT.
+    With the divisor left at the reference's fixed 36, N > 36 wraps mod 2pi
+    into bit-identical duplicate views and N < 36 covers only a partial arc.
+    Pin both properties at the specs level."""
+    specs = [_dummy_spec(0)]
+    # matching divisor: 4 views, consecutive pairs 90 degrees apart, all
+    # distinct, and view v of 4 equals view 9v of the 36-circle (same angle)
+    out = novel_view_specs(specs, dataset="zju", n_views=4, camera_view_num=4)
+    assert len(out) == 4
+    for v in range(4):
+        np.testing.assert_allclose(
+            out[v].R_w2c, orbit_w2c_zju(9 * v, 36)[:3, :3], atol=1e-5)
+    for v in range(1, 4):
+        assert np.abs(out[v].R_w2c - out[0].R_w2c).max() > 1e-3
+    # the bug shape: divisor fixed at 36 with n_views=40 duplicates view 36+k
+    dup = novel_view_specs(specs, dataset="zju", n_views=40,
+                           camera_view_num=36)
+    np.testing.assert_allclose(dup[36].R_w2c, dup[0].R_w2c, atol=1e-6)
+    # full-orbit semantics: 40 views over the whole circle, none duplicated
+    full = novel_view_specs(specs, dataset="zju", n_views=40,
+                            camera_view_num=40)
+    for v in range(1, 40):
+        assert np.abs(full[v].R_w2c - full[0].R_w2c).max() > 1e-4
