@@ -89,3 +89,31 @@ def make_optimizer(cfg: OptimConfig, spatial_lr_scale: float = 1.0):
         "lbs": adamw(cfg.lbs_field_lr),
     }
     return optax.multi_transform(transforms, _labels)
+
+
+def zero_group_moments(opt_state, group: str):
+    """Zero the Adam first/second moments of one multi_transform group.
+
+    The optax analog of the reference's `replace_tensor_to_optimizer`
+    (/root/reference/scene/gaussian_model.py:362-375): the opacity reset
+    swaps the parameter tensor AND zeroes its `exp_avg`/`exp_avg_sq`, so the
+    post-reset steps are not immediately pushed back toward the pre-reset
+    values by stale first moments, nor rescaled by a stale second moment.
+    The bias-correction step counter is kept, matching torch (the reference
+    retains `stored_state["step"]`).
+    """
+
+    def fix(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            return s._replace(
+                mu=jax.tree.map(jnp.zeros_like, s.mu),
+                nu=jax.tree.map(jnp.zeros_like, s.nu),
+            )
+        return s
+
+    inner = dict(opt_state.inner_states)
+    inner[group] = jax.tree.map(
+        fix, inner[group],
+        is_leaf=lambda s: isinstance(s, optax.ScaleByAdamState),
+    )
+    return opt_state._replace(inner_states=inner)

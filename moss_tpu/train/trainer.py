@@ -793,9 +793,21 @@ class Trainer:
         return stats
 
     def reset_opacity(self):
+        """Clamp opacities to <=0.01 AND zero the opacity Adam moments.
+
+        The reference's reset goes through `replace_tensor_to_optimizer`,
+        which zeroes exp_avg/exp_avg_sq for the opacity tensor
+        (gaussian_model.py:314-317,362-375) — without that, the retained
+        first moments immediately push opacities back toward their pre-reset
+        values and the stale second moment rescales the post-reset steps
+        (live on white-background runs, where the reset fires at
+        densify_from_iter, train_ZJU.py:184-185)."""
+        from .optim import zero_group_moments
+
         new_params = dict(self.ts.params)
         new_params["gauss"] = G.reset_opacity(self.ts.params["gauss"])
-        self.ts = TrainState(new_params, self.ts.opt_state, self.ts.gstate, self.ts.step)
+        opt_state = zero_group_moments(self.ts.opt_state, "opacity")
+        self.ts = TrainState(new_params, opt_state, self.ts.gstate, self.ts.step)
 
     # ------------------------------------------------------------------
     def _gui_render(self, spec: dict):
