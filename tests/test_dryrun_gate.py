@@ -1,0 +1,41 @@
+"""The multichip-dryrun learning gate must not be satisfiable by noise.
+
+VERDICT r3 weak 4: `l1s[-1] < max(l1s[:-1])` passed whenever the final l1
+merely dipped below the single worst densify bump — a frozen-after-densify
+optimizer with one noisy spike slipped through. The hardened gate
+(__graft_entry__._assert_learning) requires a 10% margin below the peak and
+a non-rising tail.
+"""
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+from __graft_entry__ import _assert_learning  # noqa: E402
+
+
+def test_genuine_recovery_passes():
+    _assert_learning([0.05, 0.09, 0.04, 0.02])
+
+
+def test_converged_floor_jitter_passes():
+    # tiny up-tick at the floor is within the 2% trend slack
+    _assert_learning([0.05, 0.09, 0.0200, 0.0203])
+
+
+def test_frozen_after_densify_fails():
+    # frozen optimizer: stays at the densify peak, one noisy dip at the end
+    # satisfied the OLD gate (0.0799 < max of earlier 0.08)
+    with pytest.raises(AssertionError):
+        _assert_learning([0.05, 0.08, 0.0801, 0.0799])
+
+
+def test_rising_tail_fails():
+    # 12% below peak but diverging at the end
+    with pytest.raises(AssertionError):
+        _assert_learning([0.09, 0.05, 0.06, 0.079])
+
+
+def test_single_point_fails():
+    with pytest.raises(AssertionError):
+        _assert_learning([0.05])
