@@ -14,7 +14,16 @@ Timing is robust to host<->device link latency: executions are queued in
 batches of N and 2N with a single device fetch each; dt = (T2 - T1) / N
 cancels fetch/dispatch overhead exactly.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+extra carries the two regime rows VERDICT r3 asked for (next 4):
+  * post_reset_rays_per_s — the same rasterization on a post-opacity-reset
+    cloud (op == 0.01, gaussian_model.py:314-317): the regime where the
+    opacity-adaptive splat extents actually pay (PERF.md r3 — 1.37 sigma
+    boxes, ~6x fewer candidate tiles), with ITS measured budgets.
+  * train_step_ms — the FULL fused train step (deform + raster + 6-term loss
+    + AdamW) at 512^2/46k via a scan-of-20 block (relay-jitter-proof), so
+    step regressions are driver-visible, not PERF.md prose. Skipped on CPU
+    (interpret-mode Pallas; set MOSS_BENCH_STEP=1 to force).
 """
 from __future__ import annotations
 
@@ -79,11 +88,15 @@ def main():
         jnp.asarray(rng.uniform(0.004, 0.012, (P, 3)).astype(np.float32)),
         jnp.asarray(rng.normal(size=(P, 4)).astype(np.float32)),
     )
-    proj = preprocess(
-        jnp.asarray(means), cov3d,
-        jnp.asarray(rng.uniform(size=(P, 3)).astype(np.float32)),
-        jnp.asarray(rng.uniform(0.3, 0.95, P).astype(np.float32)),
-        cam,
+    colors = jnp.asarray(rng.uniform(size=(P, 3)).astype(np.float32))
+    opacity_train = jnp.asarray(rng.uniform(0.3, 0.95, P).astype(np.float32))
+    proj = preprocess(jnp.asarray(means), cov3d, colors, opacity_train, cam)
+    # the post-reset regime: every live opacity clamped to 0.01
+    # (reference reset_opacity, gaussian_model.py:314-317) — the cloud shape
+    # the densify window actually rasterizes on white-background runs
+    proj_reset = preprocess(
+        jnp.asarray(means), cov3d, colors,
+        jnp.full((P,), 0.01, jnp.float32), cam,
     )
     bg = jnp.zeros(3)
 
@@ -105,14 +118,21 @@ def main():
             )), static_argnums=()
         )(p)
 
-    m0 = _measure(proj, 16)
-    # rect cap sized to the scene's measured max rect (exact — overflow would
-    # be counted): the key sort runs over P*B entries, so a tight B cuts it
-    # (737k -> ~460k at the bench scene's max_rect 10; B need not be pow2)
-    max_tiles = max(int(m0["max_rect"]), 1)
-    need = int(_measure(proj, max_tiles)["need"]) if max_tiles != 16 \
-        else int(m0["need"])
-    slot_budget = -(-int(need * 1.06) // 16384) * 16384
+    def sized_raster_fn(pr):
+        """Measured budgets for THIS cloud (exact — drops would be counted):
+        rect cap = the measured max rect (the key sort runs over P*B entries,
+        so a tight B cuts it; B need not be pow2), slot budget = need +6%."""
+        m0 = _measure(pr, 16)
+        max_tiles = max(int(m0["max_rect"]), 1)
+        need = int(_measure(pr, max_tiles)["need"]) if max_tiles != 16 \
+            else int(m0["need"])
+        slot_budget = -(-int(need * 1.06) // 16384) * 16384
+
+        def raster_sized(prr, bgc, h, w):
+            return rt.rasterize_tpu(prr, bgc, h, w, slot_budget=slot_budget,
+                                    max_tiles_per_gaussian=max_tiles)
+
+        return raster_sized
 
     def loss_with(raster_fn, fields, pr):
         o = raster_fn(
@@ -134,14 +154,19 @@ def main():
             )
         )
 
-    # Pallas fwd+bwd
-    def raster_sized(pr, bgc, h, w):
-        return rt.rasterize_tpu(pr, bgc, h, w, slot_budget=slot_budget,
-                                max_tiles_per_gaussian=max_tiles)
-
-    f_pallas = gradsum(raster_sized)
+    # Pallas fwd+bwd — training regime (the north-star row)
+    f_pallas = gradsum(sized_raster_fn(proj))
     dt_pallas = _queued_time(f_pallas, args, proj, n=10)
     rays_pallas = H * W / dt_pallas
+
+    # Pallas fwd+bwd — post-opacity-reset regime (op == 0.01 everywhere):
+    # the opacity-adaptive extents shrink every box to ~1.37 sigma, so this
+    # row makes the lever (and any regression of it) driver-visible
+    f_reset = gradsum(sized_raster_fn(proj_reset))
+    args_reset = (proj_reset.mean2d, proj_reset.conic, proj_reset.color,
+                  proj_reset.opacity, proj_reset.depth)
+    dt_reset = _queued_time(f_reset, args_reset, proj_reset, n=10)
+    rays_reset = H * W / dt_reset
 
     # XLA-oracle fwd+bwd baseline (rematerialized scan to bound memory)
     def oracle(pr_proj, bgc, h, w):
@@ -157,12 +182,76 @@ def main():
         print(f"# oracle baseline failed: {e}", file=sys.stderr)
         vs_baseline = float("nan")
 
+    # FULL fused train step (deform + raster + 6-term loss + AdamW) via a
+    # scan-of-20 block: one dispatch per 20 steps, so per-dispatch relay
+    # jitter amortizes 20x (PERF.md "Train-step timing caveats"). The number
+    # INCLUDES the scan's loop-carried overhead (~10 ms/iter on a degraded
+    # relay, near-zero locally) — stable across sessions, which is what a
+    # regression gate needs. Skipped on CPU (interpret-mode Pallas) unless
+    # MOSS_BENCH_STEP=1; MOSS_BENCH_STEP=0 skips everywhere.
+    step_env = os.environ.get("MOSS_BENCH_STEP", "")
+    run_step = (step_env == "1"
+                or (step_env != "0" and jax.devices()[0].platform != "cpu"))
+    step_ms = _train_step_ms(H, W) if run_step else None
+
     print(json.dumps({
         "metric": f"rays_per_s_per_chip_fwd_bwd_{H}x{W}_46k",
         "value": round(rays_pallas, 1),
         "unit": "rays/s",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline == vs_baseline else None,
+        "extra": {
+            "post_reset_rays_per_s": round(rays_reset, 1),
+            "post_reset_vs_train_regime": round(rays_reset / rays_pallas, 3),
+            "train_step_scan20_ms": (round(step_ms, 2)
+                                     if step_ms is not None else None),
+        },
     }))
+
+
+def _train_step_ms(H: int, W: int) -> float:
+    """ms/iter of the full fused train step at the (H, W) frame shape with
+    the reference-scale cloud (46,080 capacity, 6,890 SMPL-vertex init),
+    measured as scan-of-20 blocks with the difference method."""
+    import jax
+    import jax.numpy as jnp
+
+    from moss_tpu.config import Config, ModelConfig
+    from moss_tpu.data.synthetic import make_frames, make_scene
+    from moss_tpu.parallel.sharded import stack_frames
+    from moss_tpu.train.train_step import make_train_many
+    from moss_tpu.train.trainer import Trainer
+
+    scene = make_scene(n_verts=6890)
+    frames, _ = make_frames(scene, n_frames=2, H=H, W=W, crop=H)
+    cfg = Config(model=ModelConfig(sh_degree=3, capacity=46080,
+                                   n_init_points=6890))
+    tr = Trainer(scene, frames, frames[:1], cfg, crop_hw=(H, W))
+    stacked = stack_frames(frames)
+    gt = tr._stage_gt_lpips_feats(stacked=True)
+    many = make_train_many(tr.step_fn, cfg.model.sh_degree)
+    K = 20
+    order = jnp.asarray(np.tile(np.arange(len(frames)), K)[:K].astype(np.int32))
+
+    def scan_steps(ts):
+        ts2, logs = many(ts, stacked, order, 0, gt)
+        return logs["loss"], ts2
+
+    _, ts0 = scan_steps(tr.ts)  # compile
+
+    def timed(n):
+        ts = ts0
+        loss = None
+        t0 = time.time()
+        for _ in range(n):
+            loss, ts = scan_steps(ts)
+        _ = float(loss)  # ONE fetch per window — cancelled by the difference
+        return time.time() - t0
+
+    timed(1)  # warm
+    n = 3
+    t1 = timed(n)
+    t2 = timed(2 * n)
+    return max(t2 - t1, 1e-9) / (n * K) * 1e3
 
 
 if __name__ == "__main__":

@@ -85,3 +85,33 @@ def test_dropin_flows_through_trainer_evaluate(
     m = tr.evaluate()
     assert m["lpips_backbone"] == "pretrained"
     assert np.isfinite(m["lpips"])
+
+    # ...all the way into the reference-format result file, with NO
+    # not-comparable marker (the drivers pass note=result_note()) — the day
+    # real weights land, quality-parity evaluation is a single env var
+    from moss_tpu.train.observability import append_result_line
+
+    result = str(tmp_path / "result.txt")
+    append_result_line(result, 3000, m["psnr"], m["ssim"], m["lpips"],
+                       note=lpips_jax.result_note())
+    line = open(result).read().strip()
+    assert "#" not in line and "not comparable" not in line, line
+    it, psnr, ssim, lp1000 = line.split()
+    assert int(it) == 3000
+    assert float(lp1000) == pytest.approx(m["lpips"] * 1000)
+
+
+def test_random_fallback_is_marked_in_result_line(tmp_path,
+                                                  fresh_default_cache,
+                                                  monkeypatch):
+    # the inverse guard: WITHOUT the weight file the line must carry the
+    # marker, so random-backbone numbers can never masquerade as comparable
+    monkeypatch.delenv("MOSS_LPIPS_WEIGHTS", raising=False)
+    lpips_jax.get_default_params()
+    assert lpips_jax.backbone_info()[0] == "random"
+    from moss_tpu.train.observability import append_result_line
+
+    result = str(tmp_path / "result.txt")
+    append_result_line(result, 3000, 30.0, 0.97, 0.015,
+                       note=lpips_jax.result_note())
+    assert "random fallback" in open(result).read()

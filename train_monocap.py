@@ -57,6 +57,8 @@ def parse_args():
 
 
 def train_sequence(args, seq: str):
+    import jax
+
     from moss_tpu.config import Config, ModelConfig, OptimConfig, PipelineConfig
     from moss_tpu.data.readers import read_monocap
     from moss_tpu.train.observability import EMALogger, TBWriter, append_result_line
@@ -97,19 +99,23 @@ def train_sequence(args, seq: str):
     from moss_tpu.config import save_json
     from moss_tpu.render.camera import dump_cameras_json
 
-    save_json(cfg, os.path.join(cfg.model_path, "cfg.json"))
-    dump_cameras_json(
-        os.path.join(cfg.model_path, "cameras.json"),
-        test_cameras + [f.camera for f in train_frames],
-    )
-    tb = TBWriter(cfg.model_path if args.tensorboard else None)
+    # multi-process runs (--coordinator): every process executes the same
+    # loop but only process 0 writes artifacts/results (SURVEY §5.8)
+    is_main = jax.process_index() == 0
+    if is_main:
+        save_json(cfg, os.path.join(cfg.model_path, "cfg.json"))
+        dump_cameras_json(
+            os.path.join(cfg.model_path, "cameras.json"),
+            test_cameras + [f.camera for f in train_frames],
+        )
+    tb = TBWriter(cfg.model_path if args.tensorboard and is_main else None)
     ema = EMALogger()
     t0 = time.time()
 
     def log(it, logs):
         sm = ema.update(logs)
         tb.scalars(logs, it)
-        if it % 100 == 0:
+        if it % 100 == 0 and is_main:
             print(f"[{seq}] iter {it} loss={sm.get('loss', 0):.4f} "
                   f"l1={sm.get('l1', 0):.4f} ({time.time() - t0:.0f}s)")
 
@@ -134,7 +140,10 @@ def train_sequence(args, seq: str):
     def save_at_eval(it):
         # at the eval boundary trainer.ts holds iteration it's state — a
         # post-train() save would stamp every iteration's artifact with the
-        # final model (reference saves in-loop, train_ZJU.py:164-166,200)
+        # final model (reference saves in-loop, train_ZJU.py:164-166,200).
+        # Only process 0 writes.
+        if not is_main:
+            return
         trainer.save(os.path.join(cfg.model_path, f"chkpnt{it}.npz"))
         save_reference_layout(cfg.model_path, it, trainer.ts)
 
@@ -142,6 +151,8 @@ def train_sequence(args, seq: str):
                             dispatch_engine=args.dispatch,
                             save_fn=save_at_eval)
     for m in metrics:
+        if not is_main:
+            break
         from moss_tpu.ops.lpips_jax import result_note
 
         append_result_line(args.result_file, m["iteration"], m["psnr"],
@@ -160,14 +171,17 @@ def main():
 
         initialize_distributed(args.coordinator, args.num_processes,
                                args.process_id)
-    if args.debug_nans:
-        import jax
+    import jax
 
+    if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
-    os.makedirs(os.path.dirname(args.result_file) or ".", exist_ok=True)
+    is_main = jax.process_index() == 0
+    if is_main:
+        os.makedirs(os.path.dirname(args.result_file) or ".", exist_ok=True)
     for seq in args.sequences:
-        with open(args.result_file, "a") as f:
-            f.write(f"\n{seq}\n")
+        if is_main:
+            with open(args.result_file, "a") as f:
+                f.write(f"\n{seq}\n")
         train_sequence(args, seq)
     print("\nTraining complete.")
 

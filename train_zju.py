@@ -110,19 +110,23 @@ def train_subject(args, subject: str):
     from moss_tpu.config import save_json
     from moss_tpu.render.camera import dump_cameras_json
 
-    save_json(cfg, os.path.join(cfg.model_path, "cfg.json"))
-    dump_cameras_json(
-        os.path.join(cfg.model_path, "cameras.json"),
-        test_cameras + [f.camera for f in train_frames],
-    )
-    tb = TBWriter(cfg.model_path if args.tensorboard else None)
+    # multi-process runs (--coordinator): every process executes the same
+    # loop but only process 0 writes artifacts/results (SURVEY §5.8)
+    is_main = jax.process_index() == 0
+    if is_main:
+        save_json(cfg, os.path.join(cfg.model_path, "cfg.json"))
+        dump_cameras_json(
+            os.path.join(cfg.model_path, "cameras.json"),
+            test_cameras + [f.camera for f in train_frames],
+        )
+    tb = TBWriter(cfg.model_path if args.tensorboard and is_main else None)
     ema = EMALogger()
     t0 = time.time()
 
     def log(it, logs):
         sm = ema.update(logs)
         tb.scalars(logs, it)
-        if it % 100 == 0:
+        if it % 100 == 0 and is_main:
             msg = " ".join(f"{k}={sm[k]:.4f}" for k in ("loss", "l1", "ssim") if k in sm)
             print(f"[{subject}] iter {it} {msg} pts={int(logs['num_points'])} "
                   f"({time.time() - t0:.0f}s)")
@@ -149,7 +153,9 @@ def train_subject(args, subject: str):
         # called AT the eval boundary, while trainer.ts holds iteration
         # it's state — a post-train() save would stamp every iteration's
         # artifact with the final model (reference saves in-loop,
-        # train_ZJU.py:164-166,200)
+        # train_ZJU.py:164-166,200). Only process 0 writes.
+        if not is_main:
+            return
         trainer.save(os.path.join(cfg.model_path, f"chkpnt{it}.npz"))
         # reference artifact tree (scene/__init__.py:109-123): external 3DGS
         # tooling walks point_cloud/iteration_N/; render drivers load either
@@ -161,6 +167,8 @@ def train_subject(args, subject: str):
     from moss_tpu.ops.lpips_jax import result_note
 
     for m in metrics:
+        if not is_main:
+            break
         append_result_line(args.result_file, m["iteration"], m["psnr"],
                            m["ssim"], m["lpips"], note=result_note())
         print(f"[{subject}] iter {m['iteration']}: PSNR {m['psnr']:.3f} "
@@ -172,12 +180,13 @@ def train_subject(args, subject: str):
 
     g = trainer.ts.params["gauss"]
     valid = np.asarray(trainer.ts.gstate.valid)
-    save_ply(
-        os.path.join(cfg.model_path, "point_cloud.ply"),
-        np.asarray(g.xyz)[valid], np.asarray(g.f_dc)[valid],
-        np.asarray(g.f_rest)[valid], np.asarray(g.opacity)[valid],
-        np.asarray(g.scaling)[valid], np.asarray(g.rotation)[valid],
-    )
+    if is_main:
+        save_ply(
+            os.path.join(cfg.model_path, "point_cloud.ply"),
+            np.asarray(g.xyz)[valid], np.asarray(g.f_dc)[valid],
+            np.asarray(g.f_rest)[valid], np.asarray(g.opacity)[valid],
+            np.asarray(g.scaling)[valid], np.asarray(g.rotation)[valid],
+        )
     tb.close()
     return metrics
 
@@ -190,14 +199,17 @@ def main():
 
         initialize_distributed(args.coordinator, args.num_processes,
                                args.process_id)
-    if args.debug_nans:
-        import jax
+    import jax
 
+    if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
-    os.makedirs(os.path.dirname(args.result_file) or ".", exist_ok=True)
+    is_main = jax.process_index() == 0
+    if is_main:
+        os.makedirs(os.path.dirname(args.result_file) or ".", exist_ok=True)
     for subject in args.subjects:
-        with open(args.result_file, "a") as f:
-            f.write(f"\nmy_{subject}\n")
+        if is_main:
+            with open(args.result_file, "a") as f:
+                f.write(f"\nmy_{subject}\n")
         train_subject(args, subject)
     print("\nTraining complete.")
 
