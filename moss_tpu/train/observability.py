@@ -16,6 +16,46 @@ from typing import Dict, Optional
 import numpy as np
 
 
+class TimestampedStdout:
+    """Stamp every stdout line with wall time.
+
+    Counterpart of the reference safe_state's stdout wrapper
+    (utils/general_utils.py:120-136) — long training runs get attributable
+    log lines. This one prefixes `[HH:MM:SS]` at the START of each line
+    (quiet=True swallows output entirely, like safe_state(quiet))."""
+
+    def __init__(self, inner, quiet: bool = False, fmt: str = "%H:%M:%S"):
+        self._inner = inner
+        self._quiet = quiet
+        self._fmt = fmt
+        self._line_start = True
+
+    def write(self, s: str):
+        if self._quiet:
+            return
+        for piece in s.splitlines(keepends=True):
+            if self._line_start and piece.strip():
+                self._inner.write(f"[{time.strftime(self._fmt)}] ")
+            self._inner.write(piece)
+            self._line_start = piece.endswith("\n")
+
+    def flush(self):
+        self._inner.flush()
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+def install_timestamped_stdout(quiet: bool = False):
+    """Wrap sys.stdout in place (idempotent); returns the wrapper."""
+    import sys
+
+    if isinstance(sys.stdout, TimestampedStdout):
+        return sys.stdout
+    sys.stdout = TimestampedStdout(sys.stdout, quiet=quiet)
+    return sys.stdout
+
+
 class EMALogger:
     """EMA-smoothed loss tracker (the reference's 0.4/0.6 mix, train_ZJU.py:146)."""
 

@@ -145,7 +145,8 @@ def active_sh_degree(step, max_degree: int):
     return jnp.minimum(step // 1000, max_degree)
 
 
-def make_train_many(step_fn, max_sh_degree: Optional[int] = None):
+def make_train_many(step_fn, max_sh_degree: Optional[int] = None,
+                    per_step_logs: bool = False):
     """Wrap a train step so N iterations run in ONE device dispatch.
 
     On a remote/TPU-pod setup the per-dispatch host round trip (~100 ms over
@@ -159,6 +160,13 @@ def make_train_many(step_fn, max_sh_degree: Optional[int] = None):
     train_ZJU.py:85-86) — exact even when a scan block spans a 1000-multiple
     (a per-block degree would feed the boundary step a stale mask). Without
     it, the caller-passed sh_degree applies to the whole chunk.
+
+    per_step_logs=True returns the STACKED per-step logs (every leaf gains a
+    leading K axis) instead of the last step's — the Trainer unstacks them on
+    the host so log_fn/TB see every iteration (reference logs per iteration,
+    train_ZJU.py:144-158). Default stays the last-step dict with the chunk's
+    summed raster_overflow ('no silent caps': a mid-chunk frame can overflow
+    while the boundary one doesn't).
     """
 
     @jax.jit
@@ -176,9 +184,9 @@ def make_train_many(step_fn, max_sh_degree: Optional[int] = None):
             return ts, logs
 
         ts, logs_seq = jax.lax.scan(body, ts, order)
+        if per_step_logs:
+            return ts, logs_seq
         last_logs = jax.tree.map(lambda x: x[-1], logs_seq)
-        # 'no silent caps': a mid-chunk frame can overflow the pair budget
-        # while the last one doesn't — report the chunk TOTAL, not a sample
         if "raster_overflow" in logs_seq:
             last_logs["raster_overflow"] = jnp.sum(logs_seq["raster_overflow"])
         return ts, last_logs

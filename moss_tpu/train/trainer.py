@@ -781,7 +781,7 @@ class Trainer:
             # stacking/gather at all
             gt_feats_list = self._stage_gt_lpips_feats(stacked=False)
 
-        def host_work(it, logs):
+        def host_work(it, logs, fire_log_fn=True):
             if logs is not None and logs.get("loss") is not None:
                 loss_val = float(logs["loss"])
                 if not np.isfinite(loss_val):
@@ -808,7 +808,7 @@ class Trainer:
                 cfg.model.white_background and it == o.densify_from_iter
             ):
                 self.reset_opacity()
-            if self.log_fn is not None and logs is not None:
+            if fire_log_fn and self.log_fn is not None and logs is not None:
                 self.log_fn(it, jax.device_get(logs))
             if (
                 self._autosize and logs is not None
@@ -894,7 +894,8 @@ class Trainer:
                     if b > a]
             block = math.gcd(*gaps) if gaps else iters
             scan_state = {
-                "fn": make_train_many(self.step_fn, cfg.model.sh_degree),
+                "fn": make_train_many(self.step_fn, cfg.model.sh_degree,
+                                      per_step_logs=True),
                 "version": self._step_version,
             }
 
@@ -902,7 +903,8 @@ class Trainer:
                 if self._step_version != scan_state["version"]:
                     # a raster budget grew at a boundary — rebuild
                     scan_state["fn"] = make_train_many(
-                        self.step_fn, cfg.model.sh_degree)
+                        self.step_fn, cfg.model.sh_degree,
+                        per_step_logs=True)
                     scan_state["version"] = self._step_version
                 logs = None
                 for s in range(prev, bound, block):
@@ -932,21 +934,46 @@ class Trainer:
             prev = 0
             for bound in self._host_boundaries(iters, eval_iters):
                 if bound > prev:
-                    logs = None
-                    ovf = None  # device-side chunk total — no silent caps:
-                    # the boundary step's logs alone would only SAMPLE the
-                    # overflow counter; a mid-chunk frame/block can drop
-                    # pairs while the boundary one doesn't
-                    for logs in run_segment(prev, bound):
-                        o = logs.get("raster_overflow")
-                        if o is not None:
-                            ovf = o if ovf is None else ovf + o
-                    if ovf is not None:
-                        logs = dict(logs)
-                        logs["raster_overflow"] = ovf
-                    host_work(bound, logs)
+                    seg = list(run_segment(prev, bound))
+                    logs = self._log_segment(prev, bound, seg)
+                    host_work(bound, logs, fire_log_fn=False)
                     prev = bound
         return self.metrics_history
+
+    def _log_segment(self, prev: int, bound: int, seg):
+        """One host drain of a segment's per-step logs.
+
+        Queued dispatch keeps every step's scalar logs in flight on device;
+        fetching them all at the boundary (a single batched device_get, zero
+        extra syncs — boundaries are <=100 iters apart) gives log_fn/TB true
+        PER-ITERATION resolution, matching the reference's per-iter logging
+        (train_ZJU.py:144-158). Scan blocks arrive stacked (leaves with a
+        leading K axis, make_train_many(per_step_logs=True)) and are
+        unstacked here. Returns the boundary iteration's logs dict with the
+        segment-summed raster_overflow ('no silent caps': a mid-segment step
+        can drop pairs while the boundary one doesn't) for host_work's
+        self-heal and non-finite-loss gates."""
+        seg = [s for s in seg if s is not None]
+        if not seg:
+            return None
+        host = jax.device_get(seg)
+        flat = []
+        for h in host:
+            leaves = jax.tree.leaves(h)
+            if leaves and np.ndim(leaves[0]) >= 1:
+                for k in range(len(leaves[0])):  # stacked scan block
+                    flat.append(jax.tree.map(lambda x, k=k: x[k], h))
+            else:
+                flat.append(h)
+        if self.log_fn is not None:
+            for i, h in enumerate(flat):
+                self.log_fn(prev + 1 + i, h)
+        logs = dict(flat[-1])
+        if logs.get("raster_overflow") is not None:
+            logs["raster_overflow"] = sum(
+                int(h["raster_overflow"]) for h in flat
+            )
+        return logs
 
     # ------------------------------------------------------------------
     def densify(self, it: int):

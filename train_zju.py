@@ -62,6 +62,8 @@ def parse_args():
                    help="SIBR remote-viewer port (0=off); reference network_gui")
     p.add_argument("--n_init", type=int, default=6890,
                    help="initial point count (SMPL vertex count)")
+    p.add_argument("--quiet", action="store_true",
+                   help="silence stdout (reference safe_state(quiet))")
     return p.parse_args()
 
 
@@ -193,6 +195,10 @@ def train_subject(args, subject: str):
 
 def main():
     args = parse_args()
+    from moss_tpu.train.observability import install_timestamped_stdout
+
+    # reference safe_state: seeded + timestamped stdout (general_utils.py:120-148)
+    install_timestamped_stdout(quiet=args.quiet)
     if args.coordinator or args.num_processes:
         # must run before any other jax API touches the backend
         from moss_tpu.parallel.distributed import initialize_distributed
