@@ -1046,7 +1046,8 @@ class Trainer:
             static_scene=self.cfg.model.static_scene,
         )
 
-    def evaluate(self, frames=None, tb_step: Optional[int] = None) -> Dict:
+    def evaluate(self, frames=None, tb_step: Optional[int] = None,
+                 _healed_retry: bool = False) -> Dict:
         """Streamed eval: frames (Frames or lazy FrameSpecs) are decoded on a
         prefetch thread and metrics fetched with a 2-deep pipeline, so neither
         the frames nor the rendered images of a large test split are ever
@@ -1097,7 +1098,8 @@ class Trainer:
         # one did, grow the budgets so the NEXT eval cannot (mesh mode grows
         # the full-image eval budgets; single-chip shares the train budgets)
         out["raster_overflow"] = int(vals["overflow"])
-        if out["raster_overflow"] > 0 and self._autosize and self.train_frames:
+        if (out["raster_overflow"] > 0 and self._autosize
+                and self.train_frames and not _healed_retry):
             if self.mesh is None:
                 cur = self._slot_budget or self._default_budget_cap(
                     self._pair_budget, self._max_tiles)
@@ -1110,6 +1112,14 @@ class Trainer:
                 print(f"[trainer] eval raster_overflow={out['raster_overflow']}"
                       f" under eval slot budget {cur} — regrowing eval budgets")
                 self._resize_eval_budgets(full=True, grow_from=cur)
+            # the metrics above were computed WITH drops — re-run once under
+            # the grown budgets so callers (result files, TB) get exact
+            # numbers; the pre-heal count stays surfaced in its own key and
+            # a nonzero count on the retry itself is returned as-is
+            retried = self.evaluate(frames=frames, tb_step=tb_step,
+                                    _healed_retry=True)
+            retried["raster_overflow_healed_from"] = out["raster_overflow"]
+            return retried
         # provenance: random-backbone LPIPS is not reference-comparable
         out["lpips_backbone"] = lpips_jax.backbone_info()[0]
         return out

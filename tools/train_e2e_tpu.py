@@ -33,6 +33,10 @@ def main():
     tlog = {"last": time.time()}
 
     def log(it, logs):
+        # log_fn now fires per ITERATION (trainer._log_segment); print the
+        # wall-clock chunk line at the driver cadence only
+        if it % 100:
+            return
         now = time.time()
         print(f"  chunk -> iter {it}: {now - tlog['last']:.1f}s "
               f"(pts {int(logs['num_points'])}, budget {tr._slot_budget})",
