@@ -723,6 +723,15 @@ class Trainer:
         inside the loop, train_ZJU.py:164-166,200; saving after train() returns
         would label every iteration's artifact with the final model).
 
+        Resume: when self.ts.step > 0 (a checkpoint was loaded via load()/
+        resume_latest/set_state), training CONTINUES from that iteration —
+        the epoch-shuffled frame order is rebuilt deterministically from the
+        config seed, already-passed host boundaries (evals, densifies,
+        resets) are skipped, and the LR schedule rides the restored Adam
+        step count. The reference's --start_checkpoint path is broken
+        (self.self typo, gaussian_model.py:131); this one is tested against
+        an uninterrupted run.
+
         dispatch_engine selects how iterations between host boundaries
         (densify/eval/SH changes) reach the device:
 
@@ -751,6 +760,9 @@ class Trainer:
             dispatch_engine = "queued"
         assert dispatch_engine in ("queued", "scan", "eager"), dispatch_engine
         iters = iterations or cfg.optim.iterations
+        start = int(self.ts.step)  # >0 after load()/resume_latest: continue
+        if start >= iters:
+            return self.metrics_history
         # explicit [] means "no evals" — only None falls back to the config
         eval_iters = set(cfg.pipe.test_iterations if eval_iters is None
                          else eval_iters)
@@ -889,8 +901,9 @@ class Trainer:
 
             from .train_step import make_train_many
 
-            boundaries = self._host_boundaries(iters, eval_iters)
-            gaps = [b - a for a, b in zip([0] + boundaries, boundaries)
+            boundaries = [b for b in self._host_boundaries(iters, eval_iters)
+                          if b > start]
+            gaps = [b - a for a, b in zip([start] + boundaries, boundaries)
                     if b > a]
             block = math.gcd(*gaps) if gaps else iters
             scan_state = {
@@ -927,11 +940,11 @@ class Trainer:
                     yield dispatch(it)
 
         if dispatch_engine == "eager":
-            for it in range(1, iters + 1):
+            for it in range(start + 1, iters + 1):
                 logs = dispatch(it)
                 host_work(it, logs if it % 10 == 0 else None)
         else:
-            prev = 0
+            prev = start
             for bound in self._host_boundaries(iters, eval_iters):
                 if bound > prev:
                     seg = list(run_segment(prev, bound))
@@ -978,7 +991,11 @@ class Trainer:
     # ------------------------------------------------------------------
     def densify(self, it: int):
         cfg = self.cfg
-        self.key, k = jax.random.split(self.key)
+        # per-iteration key (fold_in, not a mutating split): densify
+        # randomness is a pure function of (seed, iteration), so a run
+        # resumed from a checkpoint replays the identical clone/split noise
+        # stream a never-interrupted run would have used (SURVEY §5.3)
+        k = jax.random.fold_in(self.key, it)
         use_size = it > cfg.optim.opacity_reset_interval
         if cfg.model.static_scene:
             # vanilla 3DGS densify: no KL/Fisher/merge, no SMPL shell

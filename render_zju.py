@@ -227,6 +227,9 @@ def render_subject(args, subject: str, iteration: int):
 
 
 def main():
+    # NOTE: no install_timestamped_stdout() here — the render drivers emit a
+    # machine-parsed JSON metrics line on stdout (test_drivers.py consumes
+    # it); the safe_state timestamping lives on the train drivers
     args = parse_args()
     import moss_tpu
 

@@ -55,6 +55,11 @@ def parse_args():
                    help="SIBR remote-viewer port (0=off); reference network_gui")
     p.add_argument("--quiet", action="store_true",
                    help="silence stdout (reference safe_state(quiet))")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the newest chkpnt*.npz in the output "
+                        "dir (the reference's --start_checkpoint analog; its "
+                        "restore path is broken, gaussian_model.py:131 — "
+                        "this one replays the identical schedule)")
     return p.parse_args()
 
 
@@ -148,6 +153,11 @@ def train_sequence(args, seq: str):
             return
         trainer.save(os.path.join(cfg.model_path, f"chkpnt{it}.npz"))
         save_reference_layout(cfg.model_path, it, trainer.ts)
+
+    if args.resume:
+        resumed = trainer.resume_latest(cfg.model_path)
+        if resumed and is_main:
+            print(f"[{seq}] resumed from iteration {resumed}")
 
     metrics = trainer.train(eval_iters=args.test_iterations,
                             dispatch_engine=args.dispatch,

@@ -64,6 +64,11 @@ def parse_args():
                    help="initial point count (SMPL vertex count)")
     p.add_argument("--quiet", action="store_true",
                    help="silence stdout (reference safe_state(quiet))")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the newest chkpnt*.npz in the output "
+                        "dir (the reference's --start_checkpoint analog; its "
+                        "restore path is broken, gaussian_model.py:131 — "
+                        "this one replays the identical schedule)")
     return p.parse_args()
 
 
@@ -162,6 +167,11 @@ def train_subject(args, subject: str):
         # reference artifact tree (scene/__init__.py:109-123): external 3DGS
         # tooling walks point_cloud/iteration_N/; render drivers load either
         save_reference_layout(cfg.model_path, it, trainer.ts)
+
+    if args.resume:
+        resumed = trainer.resume_latest(cfg.model_path)
+        if resumed and is_main:
+            print(f"[{subject}] resumed from iteration {resumed}")
 
     metrics = trainer.train(eval_iters=args.test_iterations,
                             dispatch_engine=args.dispatch,
