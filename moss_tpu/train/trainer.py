@@ -978,6 +978,10 @@ class Trainer:
                     flat.append(jax.tree.map(lambda x, k=k: x[k], h))
             else:
                 flat.append(h)
+        assert len(flat) == bound - prev, (
+            f"segment log misalignment: {len(flat)} step logs for iterations "
+            f"({prev}, {bound}]"
+        )
         if self.log_fn is not None:
             for i, h in enumerate(flat):
                 self.log_fn(prev + 1 + i, h)

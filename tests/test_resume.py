@@ -81,6 +81,29 @@ def test_resume_matches_uninterrupted(setup, tmp_path):
                                    rtol=1e-6, atol=1e-7, err_msg=k)
 
 
+def test_resume_scan_engine_matches_queued_resume(setup, tmp_path):
+    """Resume under the lax.scan block engine: the remaining boundary gaps
+    drive the block gcd, per-step logs stay aligned, and the result matches
+    the queued-engine resume."""
+    scene, frames = setup
+    finals = {}
+    for engine in ("queued", "scan"):
+        ck = str(tmp_path / f"ck_{engine}.npz")
+        tr = Trainer(scene, frames, frames[:1], _cfg(), crop_hw=(32, 32))
+        tr.train(20, eval_iters=[10], save_fn=lambda it: tr.save(ck),
+                 dispatch_engine=engine)
+        its = []
+        tr2 = Trainer(scene, frames, frames[:1], _cfg(), crop_hw=(32, 32),
+                      log_fn=lambda it, lg: its.append(it))
+        tr2.load(ck)
+        tr2.train(20, eval_iters=[10], dispatch_engine=engine)
+        assert its == list(range(11, 21)), (engine, its)
+        finals[engine] = _final_state(tr2)
+    np.testing.assert_allclose(
+        finals["queued"]["xyz"], finals["scan"]["xyz"], rtol=1e-5, atol=1e-6
+    )
+
+
 def test_train_past_end_is_noop(setup, tmp_path):
     scene, frames = setup
     tr = Trainer(scene, frames, frames[:1], _cfg(), crop_hw=(32, 32))
