@@ -484,7 +484,16 @@ class Trainer:
         grow_from when evaluate() observed overflow). Eval views are unprobed
         test cameras, so headroom stays at 2x. Single-chip mode needs none of
         this: its probe is already full-image and _install_budgets hands the
-        eval fn the same measured budgets."""
+        eval fn the same measured budgets.
+
+        KEEP THE GROW POLICY IN SYNC with _resize_train_budgets (bucket
+        quantization, default-cap short-circuit, grow_from bounding,
+        monotonicity). Deliberately not factored into one parameterized
+        function: the train path additionally carries the init-only rect-cap
+        lowering, the densify-ahead 2x-headroom rule and the
+        _overflow_persists snapshot signal, and a policy function
+        parameterized over all of that read worse than two documented
+        variants."""
         if not self._autosize or self.mesh is None or not self.train_frames:
             return
         probe = self.train_frames if full else self._probe_frames()
@@ -948,12 +957,14 @@ class Trainer:
             for bound in self._host_boundaries(iters, eval_iters):
                 if bound > prev:
                     seg = list(run_segment(prev, bound))
-                    logs = self._log_segment(prev, bound, seg)
+                    logs = self._log_segment(
+                        prev, bound, seg, stacked=dispatch_engine == "scan"
+                    )
                     host_work(bound, logs, fire_log_fn=False)
                     prev = bound
         return self.metrics_history
 
-    def _log_segment(self, prev: int, bound: int, seg):
+    def _log_segment(self, prev: int, bound: int, seg, stacked: bool):
         """One host drain of a segment's per-step logs.
 
         Queued dispatch keeps every step's scalar logs in flight on device;
@@ -972,9 +983,13 @@ class Trainer:
         host = jax.device_get(seg)
         flat = []
         for h in host:
-            leaves = jax.tree.leaves(h)
-            if leaves and np.ndim(leaves[0]) >= 1:
-                for k in range(len(leaves[0])):  # stacked scan block
+            if stacked:
+                # a scan block: every leaf has a leading K step axis. The
+                # caller states this explicitly (it chose the engine) —
+                # inferring it from leaf shapes would misfire the moment a
+                # genuinely non-scalar log leaf is added to the step
+                K = len(jax.tree.leaves(h)[0])
+                for k in range(K):
                     flat.append(jax.tree.map(lambda x, k=k: x[k], h))
             else:
                 flat.append(h)
@@ -1121,6 +1136,8 @@ class Trainer:
         out["raster_overflow"] = int(vals["overflow"])
         if (out["raster_overflow"] > 0 and self._autosize
                 and self.train_frames and not _healed_retry):
+            budgets_before = (self._step_version, self._eval_slot,
+                              self._eval_pair, self._eval_max_tiles)
             if self.mesh is None:
                 cur = self._slot_budget or self._default_budget_cap(
                     self._pair_budget, self._max_tiles)
@@ -1133,14 +1150,24 @@ class Trainer:
                 print(f"[trainer] eval raster_overflow={out['raster_overflow']}"
                       f" under eval slot budget {cur} — regrowing eval budgets")
                 self._resize_eval_budgets(full=True, grow_from=cur)
-            # the metrics above were computed WITH drops — re-run once under
-            # the grown budgets so callers (result files, TB) get exact
-            # numbers; the pre-heal count stays surfaced in its own key and
-            # a nonzero count on the retry itself is returned as-is
-            retried = self.evaluate(frames=frames, tb_step=tb_step,
-                                    _healed_retry=True)
-            retried["raster_overflow_healed_from"] = out["raster_overflow"]
-            return retried
+            # this heal path surfaces its drops via the returned counter; the
+            # persists flag belongs to the TRAIN boundary's snapshot logic —
+            # consume it so a later successful train regrow can't misfire a
+            # stale "overflow persists" snapshot
+            self._overflow_persists = False
+            if (self._step_version, self._eval_slot, self._eval_pair,
+                    self._eval_max_tiles) != budgets_before:
+                # something actually grew — re-run once so callers (result
+                # files, TB) get exact numbers; the pre-heal count stays
+                # surfaced in its own key and a nonzero count on the retry
+                # itself is returned as-is
+                retried = self.evaluate(frames=frames, tb_step=tb_step,
+                                        _healed_retry=True)
+                retried["raster_overflow_healed_from"] = out["raster_overflow"]
+                return retried
+            # regrowth hit the worst-case bound (drops are rect/NPb-bounded):
+            # an identical second pass would reproduce the same drops — keep
+            # the counted metrics instead of paying a provably futile re-run
         # provenance: random-backbone LPIPS is not reference-comparable
         out["lpips_backbone"] = lpips_jax.backbone_info()[0]
         return out
@@ -1169,13 +1196,33 @@ class Trainer:
         """Failure recovery (SURVEY.md §5.3): restore the newest periodic
         checkpoint under model_path and return its step (0 if none). Unlike
         the reference's restore (broken by the self.self typo,
-        gaussian_model.py:131), this path is tested."""
+        gaussian_model.py:131), this path is tested.
+
+        Multi-process runs: every process resolves the checkpoint from its
+        own filesystem view, so a per-host model_path (or a host missing the
+        file — only process 0 writes) would leave processes at DIFFERENT
+        steps and desynchronize the collective dispatch count (hang/corrupt).
+        The resolved step is therefore allgathered and must agree across
+        processes — disagreement raises immediately instead of hanging."""
         import glob
         import re
 
         cands = glob.glob(os.path.join(model_path, "chkpnt*.npz"))
-        if not cands:
-            return 0
-        best = max(cands, key=lambda p: int(re.findall(r"(\d+)", os.path.basename(p))[0]))
-        self.load(best)
-        return int(self.ts.step)
+        step = 0
+        if cands:
+            best = max(cands, key=lambda p: int(
+                re.findall(r"(\d+)", os.path.basename(p))[0]))
+            self.load(best)
+            step = int(self.ts.step)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            steps = np.asarray(
+                multihost_utils.process_allgather(jnp.asarray(step)))
+            if int(steps.min()) != int(steps.max()):
+                raise RuntimeError(
+                    f"resume desync: processes resolved different checkpoint "
+                    f"steps {steps.tolist()} — model_path must be shared "
+                    f"storage visible to every process (only process 0 "
+                    f"writes checkpoints)")
+        return step

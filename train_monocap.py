@@ -162,15 +162,14 @@ def train_sequence(args, seq: str):
     metrics = trainer.train(eval_iters=args.test_iterations,
                             dispatch_engine=args.dispatch,
                             save_fn=save_at_eval)
-    for m in metrics:
-        if not is_main:
-            break
+    if is_main:
         from moss_tpu.ops.lpips_jax import result_note
 
-        append_result_line(args.result_file, m["iteration"], m["psnr"],
-                           m["ssim"], m["lpips"], note=result_note())
-        print(f"[{seq}] iter {m['iteration']}: PSNR {m['psnr']:.3f} "
-              f"SSIM {m['ssim']:.5f} LPIPSx1e3 {m['lpips'] * 1000:.3f}")
+        for m in metrics:
+            append_result_line(args.result_file, m["iteration"], m["psnr"],
+                               m["ssim"], m["lpips"], note=result_note())
+            print(f"[{seq}] iter {m['iteration']}: PSNR {m['psnr']:.3f} "
+                  f"SSIM {m['ssim']:.5f} LPIPSx1e3 {m['lpips'] * 1000:.3f}")
     tb.close()
     return metrics
 

@@ -178,13 +178,12 @@ def train_subject(args, subject: str):
                             save_fn=save_at_eval)
     from moss_tpu.ops.lpips_jax import result_note
 
-    for m in metrics:
-        if not is_main:
-            break
-        append_result_line(args.result_file, m["iteration"], m["psnr"],
-                           m["ssim"], m["lpips"], note=result_note())
-        print(f"[{subject}] iter {m['iteration']}: PSNR {m['psnr']:.3f} "
-              f"SSIM {m['ssim']:.5f} LPIPSx1e3 {m['lpips'] * 1000:.3f}")
+    if is_main:
+        for m in metrics:
+            append_result_line(args.result_file, m["iteration"], m["psnr"],
+                               m["ssim"], m["lpips"], note=result_note())
+            print(f"[{subject}] iter {m['iteration']}: PSNR {m['psnr']:.3f} "
+                  f"SSIM {m['ssim']:.5f} LPIPSx1e3 {m['lpips'] * 1000:.3f}")
 
     # PLY export for 3DGS-viewer interop
     from moss_tpu.data.ply import save_ply
