@@ -56,6 +56,31 @@ def initialize_distributed(
     return True
 
 
+def assert_uniform_across_processes(value: int, what: str = "value") -> None:
+    """Raise if `value` differs across the processes of a multi-controller
+    run (no-op single-process).
+
+    Used by Trainer.resume_latest: only process 0 writes checkpoints, so a
+    per-host (non-shared) model_path would resolve different resume steps on
+    different hosts — the processes would then issue different numbers of
+    collective dispatches and the job hangs. An allgather + immediate error
+    beats a silent desync."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    vals = np.asarray(multihost_utils.process_allgather(jnp.asarray(int(value))))
+    if int(vals.min()) != int(vals.max()):
+        raise RuntimeError(
+            f"{what} differs across processes: {vals.tolist()} — every "
+            f"process must see the same files (shared storage; only process "
+            f"0 writes)")
+
+
 def global_mesh(n_data: int = 0, n_tile: int = 0):
     """A ('data', 'tile') mesh over ALL processes' devices.
 

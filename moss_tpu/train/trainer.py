@@ -1207,6 +1207,8 @@ class Trainer:
         import glob
         import re
 
+        from ..parallel.distributed import assert_uniform_across_processes
+
         cands = glob.glob(os.path.join(model_path, "chkpnt*.npz"))
         step = 0
         if cands:
@@ -1214,15 +1216,5 @@ class Trainer:
                 re.findall(r"(\d+)", os.path.basename(p))[0]))
             self.load(best)
             step = int(self.ts.step)
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
-
-            steps = np.asarray(
-                multihost_utils.process_allgather(jnp.asarray(step)))
-            if int(steps.min()) != int(steps.max()):
-                raise RuntimeError(
-                    f"resume desync: processes resolved different checkpoint "
-                    f"steps {steps.tolist()} — model_path must be shared "
-                    f"storage visible to every process (only process 0 "
-                    f"writes checkpoints)")
+        assert_uniform_across_processes(step, what="resume checkpoint step")
         return step

@@ -71,6 +71,16 @@ gm = jax.shard_map(g, mesh=mesh, in_specs=P("data"), out_specs=P(),
 out = jax.jit(gm)(np.arange(float(mesh.shape["data"] * 3)))
 expect = sum(range(mesh.shape["data"] * 3))
 assert float(np.asarray(out)) == expect, (out, expect)
+# resume-step agreement (Trainer.resume_latest safety): uniform passes,
+# per-process-divergent values must raise on EVERY process
+from moss_tpu.parallel.distributed import assert_uniform_across_processes
+assert_uniform_across_processes(2500, what="resume checkpoint step")
+try:
+    assert_uniform_across_processes(2500 if pid == 0 else 0)
+except RuntimeError as e:
+    assert "differs across processes" in str(e)
+else:
+    raise AssertionError("divergent steps must raise")
 print(f"BOOTSTRAP_OK {pid}")
 """
 
