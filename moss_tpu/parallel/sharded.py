@@ -214,6 +214,15 @@ def make_sharded_train_step(
 
         updates, opt_state = optimizer.update(grads[0], ts.opt_state, ts.params)
         params = optax.apply_updates(ts.params, updates)
+        # reference as-executed step-skip semantics on densify/reset/final
+        # iterations (train/optim.apply_reference_update_skips) — identical
+        # to the single-chip step so the parity tests stay exact
+        from ..train.optim import apply_reference_update_skips
+
+        params, opt_state = apply_reference_update_skips(
+            cfg.optim, cfg.model.white_background, ts.step + 1,
+            ts.params, ts.opt_state, params, opt_state,
+        )
 
         # densify stats (reference add_densification_stats per frame)
         gs = ts.gstate

@@ -91,6 +91,76 @@ def make_optimizer(cfg: OptimConfig, spatial_lr_scale: float = 1.0):
     return optax.multi_transform(transforms, _labels)
 
 
+_GAUSS_GROUPS = ("xyz", "f_dc", "f_rest", "scaling", "rotation", "opacity")
+
+
+def apply_reference_update_skips(optim_cfg, white_background: bool, it,
+                                 old_params, old_state,
+                                 new_params, new_state):
+    """Reproduce the reference's as-executed optimizer-step skips.
+
+    torch's optimizer.step() silently skips any parameter whose .grad is
+    None. In the reference loop (train_ZJU.py:168-190) densify_and_prune and
+    reset_opacity REPLACE tensors inside torch.no_grad() BEFORE the step, so
+    as executed:
+
+      * densify iterations (densify_from < it < densify_until,
+        it % densification_interval == 0): all six Gaussian tensors are
+        freshly replaced (_prune_optimizer/cat_tensors_to_optimizer,
+        gaussian_model.py:377-434) -> the Gaussian parameter update AND the
+        Adam moment/step advance are skipped; the MLPs still step.
+      * opacity-reset iterations (it % opacity_reset_interval == 0, or white
+        background at it == densify_from_iter, train_ZJU.py:184-185): the
+        opacity tensor is replaced (replace_tensor_to_optimizer) -> opacity
+        alone skips.
+      * the final iteration: no optimizer step at all
+        (`if iteration < opt.iterations`, train_ZJU.py:188).
+
+    The fused TPU step computes the update before the host-side densify
+    runs, so these skips are applied as traced selects on (params,
+    opt_state) — `it` is the 1-based traced iteration (ts.step + 1).
+    Returns the corrected (params, opt_state).
+    """
+    o = optim_cfg
+    it = jnp.asarray(it, jnp.int32)
+    final = it == o.iterations
+    dens = ((it % o.densification_interval == 0)
+            & (it > o.densify_from_iter) & (it < o.densify_until_iter))
+    reset = (it % o.opacity_reset_interval == 0)
+    if white_background:
+        reset = reset | (it == o.densify_from_iter)
+    pred_gauss = dens | final
+    pred_opacity = pred_gauss | reset
+    pred_mlp = final
+
+    def sel(pred, new, old):
+        return jax.tree.map(lambda n, o_: jnp.where(pred, o_, n), new, old)
+
+    g_new, g_old = new_params["gauss"], old_params["gauss"]
+    gauss = GaussianParams(
+        xyz=jnp.where(pred_gauss, g_old.xyz, g_new.xyz),
+        f_dc=jnp.where(pred_gauss, g_old.f_dc, g_new.f_dc),
+        f_rest=jnp.where(pred_gauss, g_old.f_rest, g_new.f_rest),
+        scaling=jnp.where(pred_gauss, g_old.scaling, g_new.scaling),
+        rotation=jnp.where(pred_gauss, g_old.rotation, g_new.rotation),
+        opacity=jnp.where(pred_opacity, g_old.opacity, g_new.opacity),
+    )
+    params = dict(new_params)
+    params["gauss"] = gauss
+    if params.get("mlps") is not None:
+        params["mlps"] = sel(pred_mlp, new_params["mlps"],
+                             old_params["mlps"])
+
+    preds = {g: pred_gauss for g in _GAUSS_GROUPS}
+    preds["opacity"] = pred_opacity
+    inner = {
+        g: sel(preds.get(g, pred_mlp), new_state.inner_states[g],
+               old_state.inner_states[g])
+        for g in new_state.inner_states
+    }
+    return params, new_state._replace(inner_states=inner)
+
+
 def zero_group_moments(opt_state, group: str):
     """Zero the Adam first/second moments of one multi_transform group.
 

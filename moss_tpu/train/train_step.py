@@ -24,7 +24,7 @@ from ..data.frames import Frame
 from ..models import gaussians as G
 from ..render.render import SceneContext, render_frame
 from .losses import LossWeights, compute_losses
-from .optim import make_optimizer
+from .optim import apply_reference_update_skips, make_optimizer
 
 
 class TrainState(NamedTuple):
@@ -91,6 +91,13 @@ def make_train_step(
 
         updates, opt_state = optimizer.update(grads[0], ts.opt_state, ts.params)
         params = optax.apply_updates(ts.params, updates)
+        # the reference's step() skips freshly-replaced tensors (grad None)
+        # on densify/reset iterations and skips the final iteration entirely
+        # — reproduce those as-executed semantics (optim.py for the cites)
+        params, opt_state = apply_reference_update_skips(
+            cfg.optim, cfg.model.white_background, ts.step + 1,
+            ts.params, ts.opt_state, params, opt_state,
+        )
 
         # ---- densification statistics (train_ZJU.py:171-174, gaussian_model
         # add_densification_stats :816-818) ----
