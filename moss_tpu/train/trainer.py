@@ -115,6 +115,13 @@ class Trainer:
         self._eval_pair = 0
         self._eval_max_tiles = 16
         self._overflow_persists = False  # set when regrowth hit the bound
+        # exponential heal escalation: each overflow-heal recompiles the
+        # fused step (~1 min on a remote TPU), and a post-heal re-probe can
+        # understate the live peak (the overflowing moment's params are
+        # gone), so consecutive single-bucket growths can chain — escalate
+        # the growth step 1,2,4,8,16 buckets per heal event instead
+        self._heal_events = 0
+        self._eval_heal_events = 0
         self._need_fns: Dict = {}
         self._step_version = 0
         self.rasterize_fn = rasterize_fn if rasterize_fn is not None else (
@@ -163,9 +170,12 @@ class Trainer:
     # ------------------------------------------------------------------
     def _probe_slot_need(self, frame, max_tiles: int,
                          n_tile: Optional[int] = None) -> np.ndarray:
-        """Exact budget needs of one training frame under the current cloud
+        """Budget needs of one training frame under the current cloud
         (binning.measure_slot_need through the full deform chain), probed
-        with pair_budget = capacity * max_tiles so nothing truncates.
+        with pair_budget = capacity * max_tiles so nothing truncates, and
+        with OPACITY-BLIND extents (see need_fn below): exact for the
+        current cloud at op=1, an upper bound for every opacity trajectory
+        the optimizer can reach from it.
 
         Returns (3,) int64 [aligned-slot need, live pairs, max tiles touched
         by one Gaussian] — sizing all three static budgets (slot_budget,
@@ -192,12 +202,37 @@ class Trainer:
                     shift = jnp.stack([jnp.zeros_like(y0), y0])
                     pl = proj._replace(mean2d=proj.mean2d - shift[None, :])
                     z = jnp.zeros((h, w))
+                    # budget probes are OPACITY-BLIND: the adaptive splat
+                    # extents (sqrt(2 ln(255 op)) sigma, ops/projection.py)
+                    # shrink with low opacity, but opacities TRAIN — an init
+                    # cloud at op=0.1 probes 2.5-sigma boxes while a few
+                    # hundred iterations later the same splats sit at
+                    # op~0.9 with 3.4-sigma boxes (~1.8x the pairs), blowing
+                    # the probe's headroom mid-segment (measured on the r4
+                    # e2e: init need 131k -> overflow at iter 200 -> heals
+                    # converge to ~230k, each costing a recompile). Blind
+                    # extents bound every opacity the optimizer can reach;
+                    # budgets never shrink, so post-reset clouds just keep
+                    # the blind-sized buffer. Rendering stays adaptive —
+                    # only the SIZING is conservative.
+                    det_c = jnp.maximum(
+                        pl.conic[:, 0] * pl.conic[:, 2] - pl.conic[:, 1] ** 2,
+                        1e-30,
+                    )
+                    cov_diag = jnp.stack(
+                        [pl.conic[:, 2] / det_c, pl.conic[:, 0] / det_c], -1
+                    )
+                    ext = jnp.ceil(3.4 * jnp.sqrt(jnp.maximum(cov_diag, 0.0)))
+                    blind_xy = jnp.minimum(
+                        ext, pl.radius[:, None].astype(ext.dtype)
+                    ).astype(jnp.int32)
                     m = measure_slot_need(
-                        pl.mean2d, pl.conic, pl.opacity, pl.depth,
-                        pl.radius, pl.valid, hb, w, rt.TILE_H, rt.TILE_W,
+                        pl.mean2d, pl.conic, jnp.ones_like(pl.opacity),
+                        pl.depth, pl.radius, pl.valid, hb, w,
+                        rt.TILE_H, rt.TILE_W,
                         max_tiles_per_gaussian=max_tiles,
                         pair_budget=cap_pairs,
-                        groups=rt.DEFAULT_GROUPS, radius_xy=pl.radius_xy,
+                        groups=rt.DEFAULT_GROUPS, radius_xy=blind_xy,
                     )
                     need3 = jnp.stack([m["need"], m["total_live"], m["max_rect"]])
                     return {"color": jnp.zeros((h, w, 3)), "depth": z,
@@ -408,7 +443,11 @@ class Trainer:
             # an unhealable path
             max_tiles = max(max_tiles, 16)
             hard = self._max_slot_budget(pair_budget, max_tiles)
-            budget = min(max(budget, grow_from + bucket), hard)
+            # escalate consecutive heals (see __init__): the re-probe can
+            # understate the live peak, and one recompile per bucket chains
+            self._heal_events += 1
+            step = bucket * (1 << min(self._heal_events - 1, 4))
+            budget = min(max(budget, grow_from + step), hard)
             if (budget <= self._slot_budget
                     and pair_budget == self._pair_budget
                     and max_tiles == self._max_tiles):
@@ -525,7 +564,10 @@ class Trainer:
         if grow_from:
             max_tiles = max(max_tiles, 16)
             hard = self._max_slot_budget(pair_budget, max_tiles, full_image=True)
-            budget = min(max(budget, grow_from + bucket), hard)
+            # same exponential heal escalation as the train path
+            self._eval_heal_events += 1
+            step = bucket * (1 << min(self._eval_heal_events - 1, 4))
+            budget = min(max(budget, grow_from + step), hard)
             if (budget <= self._eval_slot and pair_budget == self._eval_pair
                     and max_tiles == self._eval_max_tiles):
                 print(f"[trainer] eval overflow persists at the worst-case "

@@ -77,6 +77,28 @@ def test_mesh_eval_overflow_surfaces_heals_and_retries(setup):
     assert m2["psnr"] == pytest.approx(m_ok["psnr"], rel=1e-5)
 
 
+def test_heal_escalation_doubles_growth_step(setup):
+    """Consecutive overflow heals escalate the slot-budget growth step
+    (1, 2, 4... buckets, bounded by the worst case): a post-heal re-probe
+    can understate the live peak, and each single-bucket regrow costs a full
+    recompile — chains of them burned minutes on the real-TPU e2e run."""
+    scene, frames, cfg = setup
+    tr = Trainer(scene, frames, frames, cfg, crop_hw=(32, 32))
+    hard = tr._max_slot_budget(tr._pair_budget, max(tr._max_tiles, 16))
+    budgets = []
+    for _ in range(3):
+        cur = tr._slot_budget or tr._default_budget_cap(
+            tr._pair_budget, tr._max_tiles)
+        tr._resize_train_budgets(full=True, grow_from=cur)
+        budgets.append(tr._slot_budget)
+    assert tr._heal_events == 3
+    assert budgets == sorted(budgets)
+    bucket = 2048  # tiny-scene bucket (trainer picks it below 4*32768 caps)
+    # growth step doubles per heal: +1, +2, +4 buckets (unless clamped)
+    assert budgets[1] >= budgets[0] + 2 * bucket or budgets[1] == hard
+    assert budgets[2] >= budgets[1] + 4 * bucket or budgets[2] == hard
+
+
 def test_single_chip_eval_overflow_surfaces_heals_and_retries(setup):
     scene, frames, cfg = setup
     tr = Trainer(scene, frames, frames, cfg, crop_hw=(32, 32))
