@@ -75,11 +75,20 @@ class OptimConfig:
 class PipelineConfig:
     # our rasterizer always folds the deformation into a python-side covariance
     # (the reference default compute_cov3D_python=True) and always evaluates SH
-    # on the XLA side before the blend kernel.
-    tile_h: int = 16
-    tile_w: int = 128                   # TPU lane-aligned tile
-    max_tiles_per_gaussian: int = 32
+    # on the XLA side before the blend kernel. The tile geometry is NOT
+    # configurable: 8x128 tiles are the f32 vreg shape the kernel writes
+    # natively (ops/rasterize_tpu.TILE_H/TILE_W, PERF.md "TPU-specific
+    # findings") — a knob here would be dead or a silent lie.
+    #
+    # Initial rect cap (max subtiles one Gaussian may occupy before its
+    # overflow tiles are counted + healed). The trainer's probe may LOWER it
+    # at init when the measured max rect is smaller (key sort runs over
+    # P*B entries) and the self-heal raises it on observed rect overflow.
+    max_tiles_per_gaussian: int = 16
     rasterizer: str = "pallas"          # 'pallas' | 'reference'
+    # like the reference's separate --test_iterations / --save_iterations
+    # (train_ZJU.py:298-307): evals and checkpoint/PLY saves fire
+    # independently (Trainer.train eval_iters / save_iters).
     test_iterations: Tuple[int, ...] = (2500, 2700, 3000)
     save_iterations: Tuple[int, ...] = (2500, 2700, 3000)
 

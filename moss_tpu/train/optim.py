@@ -126,9 +126,16 @@ def apply_reference_update_skips(optim_cfg, white_background: bool, it,
     final = it == o.iterations
     dens = ((it % o.densification_interval == 0)
             & (it > o.densify_from_iter) & (it < o.densify_until_iter))
+    # BOTH reset clauses sit INSIDE the reference's densification guard
+    # (`if iteration < opt.densify_until_iter:` encloses the reset at
+    # train_ZJU.py:171,184-185), so a reset can never fire at or after
+    # densify_until_iter — live on vanilla-3DGS-style schedules where
+    # opacity_reset_interval < iterations (e.g. reset every 3000 over 30k
+    # iters with densify_until 15000).
     reset = (it % o.opacity_reset_interval == 0)
     if white_background:
         reset = reset | (it == o.densify_from_iter)
+    reset = reset & (it < o.densify_until_iter)
     pred_gauss = dens | final
     pred_opacity = pred_gauss | reset
     pred_mlp = final

@@ -106,14 +106,15 @@ class Trainer:
         self._autosize = rasterize_fn is None and cfg.pipe.rasterizer == "pallas"
         self._slot_budget = 0
         self._pair_budget = 0   # 0 = binning default NPb
-        self._max_tiles = 16    # max_tiles_per_gaussian (reference has no cap)
-        self._budgets_installed = False
+        # initial rect cap from the config (the one live pipe raster knob;
+        # the init probe may lower it, the self-heal may raise it)
+        self._max_tiles = cfg.pipe.max_tiles_per_gaussian
         self._init_probe_done = False  # gates the init-only rect-cap lowering
         # mesh mode's eval renders FULL-IMAGE in a single program while the
         # train budgets are sized per band — eval gets its own probed budgets
         self._eval_slot = 0
         self._eval_pair = 0
-        self._eval_max_tiles = 16
+        self._eval_max_tiles = cfg.pipe.max_tiles_per_gaussian
         self._overflow_persists = False  # set when regrowth hit the bound
         # exponential heal escalation: each overflow-heal recompiles the
         # fused step (~1 min on a remote TPU), and a post-heal re-probe can
@@ -125,7 +126,10 @@ class Trainer:
         self._need_fns: Dict = {}
         self._step_version = 0
         self.rasterize_fn = rasterize_fn if rasterize_fn is not None else (
-            rasterize_tpu if cfg.pipe.rasterizer == "pallas" else None
+            functools.partial(
+                rasterize_tpu,
+                max_tiles_per_gaussian=cfg.pipe.max_tiles_per_gaussian)
+            if cfg.pipe.rasterizer == "pallas" else None
         )
         H = train_frames[0].camera.height
         W = train_frames[0].camera.width
@@ -159,6 +163,7 @@ class Trainer:
             init_fn, self.step_fn = make_sharded_train_step(
                 scene, cfg, mesh, *crop_hw, lpips_params=self.lpips_params,
                 spatial_lr_scale=extent,
+                max_tiles=cfg.pipe.max_tiles_per_gaussian,
             )
             self._frames_all = stack_frames(train_frames) if train_frames else None
         self.ts = TrainState(p, init_fn(p), gstate, jnp.asarray(0, jnp.int32))
@@ -364,9 +369,10 @@ class Trainer:
         stats = np.max(
             np.stack([self._probe_slot_need(f, B) for f in probe]), axis=0
         )
+        B0 = self.cfg.pipe.max_tiles_per_gaussian  # configured default cap
         lowered = False
-        if (first_probe and not grow_from and B == 16
-                and stats[2] > 0 and -(-int(stats[2]) * 5 // 4) < 16):
+        if (first_probe and not grow_from and B == B0
+                and stats[2] > 0 and -(-int(stats[2]) * 5 // 4) < B0):
             # FIRST PROBE ONLY (budgets never shrink afterwards — even when
             # that probe installed nothing because the defaults covered it):
             # the measured max rect sits well under the default
@@ -441,7 +447,7 @@ class Trainer:
             # slot budget instead would recompile per event without ever
             # healing the rect drops — the lowering's ~5% win is not worth
             # an unhealable path
-            max_tiles = max(max_tiles, 16)
+            max_tiles = max(max_tiles, B0)
             hard = self._max_slot_budget(pair_budget, max_tiles)
             # escalate consecutive heals (see __init__): the re-probe can
             # understate the live peak, and one recompile per bucket chains
@@ -478,7 +484,6 @@ class Trainer:
         self._slot_budget = slot_budget
         self._pair_budget = pair_budget
         self._max_tiles = max_tiles
-        self._budgets_installed = True
         if self.mesh is None:
             train_raster_fn = functools.partial(
                 rasterize_tpu, slot_budget=slot_budget,
@@ -494,7 +499,8 @@ class Trainer:
             self.rasterize_fn = functools.partial(
                 rasterize_tpu, slot_budget=slot_budget,
                 pair_budget=pair_budget,
-                max_tiles_per_gaussian=max(16, max_tiles),
+                max_tiles_per_gaussian=max(
+                    self.cfg.pipe.max_tiles_per_gaussian, max_tiles),
             )
             _, self.step_fn = make_train_step(
                 self.scene, self.cfg, train_raster_fn, self.lpips_params,
@@ -562,7 +568,7 @@ class Trainer:
             max_tiles, full_image=True) else target_pair)
         cap = self._default_budget_cap(pair_budget, max_tiles, full_image=True)
         if grow_from:
-            max_tiles = max(max_tiles, 16)
+            max_tiles = max(max_tiles, self.cfg.pipe.max_tiles_per_gaussian)
             hard = self._max_slot_budget(pair_budget, max_tiles, full_image=True)
             # same exponential heal escalation as the train path
             self._eval_heal_events += 1
@@ -587,6 +593,23 @@ class Trainer:
             budget = max(budget, self._eval_slot)
         self._install_eval_budgets(budget, pair_budget, max_tiles)
 
+    def _rebuild_step(self):
+        """Rebuild the jitted step under the CURRENT cfg (with the installed
+        budgets). Needed when train() overrides the run length: the traced
+        final-iteration step skip bakes optim.iterations into the program
+        (optim.apply_reference_update_skips)."""
+        if self._autosize:
+            self._install_budgets(self._slot_budget, self._pair_budget,
+                                  self._max_tiles)
+            return
+        # non-autosize (caller-supplied rasterize_fn / reference rasterizer)
+        # is single-chip only: mesh mode asserts the Pallas default at init
+        _, self.step_fn = make_train_step(
+            self.scene, self.cfg, self.rasterize_fn, self.lpips_params,
+            *self.crop_hw, spatial_lr_scale=self.extent,
+        )
+        self._step_version += 1
+
     def _install_eval_budgets(self, slot_budget: int, pair_budget: int = 0,
                               max_tiles: int = 16):
         self._eval_slot = slot_budget
@@ -594,7 +617,8 @@ class Trainer:
         self._eval_max_tiles = max_tiles
         self.rasterize_fn = functools.partial(
             rasterize_tpu, slot_budget=slot_budget, pair_budget=pair_budget,
-            max_tiles_per_gaussian=max(16, max_tiles),
+            max_tiles_per_gaussian=max(
+                self.cfg.pipe.max_tiles_per_gaussian, max_tiles),
         )
         self._eval_fn = self._build_eval_fn()
 
@@ -745,8 +769,14 @@ class Trainer:
             i for i in range(o.densification_interval, iters + 1, o.densification_interval)
             if o.densify_from_iter < i < o.densify_until_iter
         )
-        b.update(range(o.opacity_reset_interval, iters + 1, o.opacity_reset_interval))
-        if cfg.model.white_background:
+        # opacity resets are nested under the densification guard in the
+        # reference (train_ZJU.py:171,184-185): none at/after densify_until
+        b.update(
+            i for i in range(o.opacity_reset_interval, iters + 1,
+                             o.opacity_reset_interval)
+            if i < o.densify_until_iter
+        )
+        if cfg.model.white_background and o.densify_from_iter < o.densify_until_iter:
             b.add(o.densify_from_iter)
         # Unconditional <=100-iter boundary (VERDICT r3 weak 2): outside the
         # densify window the natural boundaries can be ~500 iters apart (eval
@@ -765,14 +795,29 @@ class Trainer:
         fused_dispatch: bool = True,
         dispatch_engine: str = "queued",
         save_fn=None,
+        save_iters=None,
+        ckpt_fn=None,
     ):
         """Host loop.
 
-        save_fn(iteration), if given, is called at every eval boundary while
-        self.ts still holds THAT iteration's state — the place to write
-        chkpnt{N}/point_cloud/iteration_N artifacts (the reference saves
-        inside the loop, train_ZJU.py:164-166,200; saving after train() returns
-        would label every iteration's artifact with the final model).
+        save_fn(iteration), if given, is called at every save iteration
+        (save_iters, default cfg.pipe.save_iterations — independent of
+        eval_iters, matching the reference's separate --save_iterations,
+        train_ZJU.py:298-307) while self.ts holds iteration i's PRE-STEP
+        state: the reference calls scene.save (and training_report) BEFORE
+        iteration i's optimizer.step() (train_ZJU.py:160-190), i.e. on the
+        post-step(i-1) parameters — so non-final evals/saves fire at the
+        i-1 segment boundary; at the final iteration the traced step skip
+        leaves the parameters untouched and boundary `iters` is the same
+        state. Saving after train() returns would label every iteration's
+        artifact with the final model.
+
+        ckpt_fn(iteration), if given, is the full-train-state checkpoint
+        hook: it fires at the EVAL iterations with iteration i's POST-step
+        state (ts.step == i) — the reference's torch.save((capture(), i))
+        runs after optimizer.step(), keyed on testing_iterations
+        (train_ZJU.py:186-200). Resuming such a checkpoint continues at
+        step i, never replaying iteration i.
 
         Resume: when self.ts.step > 0 (a checkpoint was loaded via load()/
         resume_latest/set_state), training CONTINUES from that iteration —
@@ -814,9 +859,38 @@ class Trainer:
         start = int(self.ts.step)  # >0 after load()/resume_latest: continue
         if start >= iters:
             return self.metrics_history
+        if iters != cfg.optim.iterations:
+            # the run length IS optim.iterations in the reference (the final
+            # iteration's step skip compares against it, train_ZJU.py:188)
+            # and the traced skip predicate bakes the value into the step
+            # program — an overridden run length must rebuild the step so
+            # the final-step skip fires at the ACTUAL last iteration, not
+            # mid-run or never (ADVICE r4: Trainer.train(iterations=N) with
+            # N != cfg.optim.iterations silently broke final-state parity)
+            self.cfg = cfg = dataclasses.replace(
+                cfg, optim=dataclasses.replace(cfg.optim, iterations=iters))
+            self._rebuild_step()
         # explicit [] means "no evals" — only None falls back to the config
         eval_iters = set(cfg.pipe.test_iterations if eval_iters is None
                          else eval_iters)
+        save_iters = set(cfg.pipe.save_iterations if save_iters is None
+                         else save_iters)
+
+        def fire_map(its):
+            # iteration i's eval/save run on its PRE-STEP state — the
+            # reference orders training_report/scene.save before iteration
+            # i's optimizer.step() (train_ZJU.py:160-190) — which is the
+            # post-step(i-1) segment boundary; the final iteration's traced
+            # step skip leaves params untouched, so boundary `iters` IS that
+            # state (and keeps the label == ts.step for checkpoints)
+            return {(i - 1 if i < iters else i): i for i in its if i <= iters}
+
+        eval_at = fire_map(eval_iters)
+        save_at = fire_map(save_iters)
+        # full-state checkpoints are POST-step at the eval iterations
+        # (reference torch.save after optimizer.step(), train_ZJU.py:186-200)
+        ckpt_at = {i for i in eval_iters if i <= iters}
+        fire_bounds = set(eval_at) | set(save_at) | ckpt_at
         rng = np.random.default_rng(cfg.seed)
         t0 = time.time()
         n_data = 1 if self.mesh is None else self.mesh.shape["data"]
@@ -844,6 +918,18 @@ class Trainer:
             # stacking/gather at all
             gt_feats_list = self._stage_gt_lpips_feats(stacked=False)
 
+        def fire_eval_save(it):
+            """Eval/save labels whose pre-step boundary is `it` (reference
+            ordering: training_report then scene.save, train_ZJU.py:160-190)."""
+            lbl = eval_at.get(it)
+            if lbl is not None:
+                m = self.evaluate(tb_step=lbl, sh_it=lbl)
+                m["iteration"] = lbl
+                m["elapsed_s"] = time.time() - t0
+                self.metrics_history.append(m)
+            if save_fn is not None and it in save_at:
+                save_fn(save_at[it])
+
         def host_work(it, logs, fire_log_fn=True):
             if logs is not None and logs.get("loss") is not None:
                 loss_val = float(logs["loss"])
@@ -867,8 +953,11 @@ class Trainer:
             ):
                 self.densify(it)
                 self._resize_pair_buffer()
-            if it % o.opacity_reset_interval == 0 or (
-                cfg.model.white_background and it == o.densify_from_iter
+            # the reset clauses live INSIDE the reference's densification
+            # guard (train_ZJU.py:171,184-185): never at/after densify_until
+            if it < o.densify_until_iter and (
+                it % o.opacity_reset_interval == 0
+                or (cfg.model.white_background and it == o.densify_from_iter)
             ):
                 self.reset_opacity()
             if fire_log_fn and self.log_fn is not None and logs is not None:
@@ -903,13 +992,9 @@ class Trainer:
                         it, self.train_frames[idx], jax.device_get(logs),
                         "overflow persists at worst-case budget",
                     )
-            if it in eval_iters:
-                m = self.evaluate(tb_step=it)
-                m["iteration"] = it
-                m["elapsed_s"] = time.time() - t0
-                self.metrics_history.append(m)
-                if save_fn is not None:
-                    save_fn(it)
+            fire_eval_save(it)
+            if ckpt_fn is not None and it in ckpt_at:
+                ckpt_fn(it)  # post-step state of iteration `it`
             if self.gui is not None:
                 # SIBR remote-viewer poll (reference train_ZJU.py:67-80).
                 # Polled at host boundaries — queued dispatch means per-iter
@@ -952,9 +1037,17 @@ class Trainer:
 
             from .train_step import make_train_many
 
-            boundaries = [b for b in self._host_boundaries(iters, eval_iters)
-                          if b > start]
-            gaps = [b - a for a, b in zip([start] + boundaries, boundaries)
+            # the block size comes from the LABEL schedule (eval/save/densify
+            # iteration numbers), not the executed boundaries: the pre-step
+            # eval ordering splits segments at i-1, and a gcd over gaps that
+            # include both 99 and 1 would collapse to 1-step blocks. Chunks
+            # are min-clamped to the segment end instead — the jit cache
+            # keys on the chunk length, so the whole reference schedule
+            # costs a handful of distinct compiles ({100, 99, 1}-sized
+            # chunks), not one per segment length.
+            label_bounds = [b for b in self._host_boundaries(
+                iters, eval_iters | save_iters) if b > start]
+            gaps = [b - a for a, b in zip([start] + label_bounds, label_bounds)
                     if b > a]
             block = math.gcd(*gaps) if gaps else iters
             scan_state = {
@@ -972,7 +1065,8 @@ class Trainer:
                     scan_state["version"] = self._step_version
                 logs = None
                 for s in range(prev, bound, block):
-                    chunk = jnp.asarray(order[s:s + block, 0])
+                    k = min(block, bound - s)  # tail chunk of a -1 boundary
+                    chunk = jnp.asarray(order[s:s + k, 0])
                     self.ts, logs = scan_state["fn"](
                         self.ts, frames_stacked, chunk, 0, gt_feats_all
                     )
@@ -990,13 +1084,21 @@ class Trainer:
                 for it in range(prev + 1, bound + 1):
                     yield dispatch(it)
 
+        if start in eval_at or start in save_at:
+            # an eval/save label at start+1 (< iters) runs on the CURRENT
+            # state — the pre-step boundary of iteration start+1 is the loop
+            # entry point itself (fresh start: iteration 1 evaluates the
+            # init cloud, exactly the reference's training_report at 1);
+            # ckpt_fn is excluded: a checkpoint at iteration <= start was
+            # written before the resume point
+            fire_eval_save(start)
         if dispatch_engine == "eager":
             for it in range(start + 1, iters + 1):
                 logs = dispatch(it)
                 host_work(it, logs if it % 10 == 0 else None)
         else:
             prev = start
-            for bound in self._host_boundaries(iters, eval_iters):
+            for bound in self._host_boundaries(iters, fire_bounds):
                 if bound > prev:
                     seg = list(run_segment(prev, bound))
                     logs = self._log_segment(
@@ -1125,6 +1227,7 @@ class Trainer:
         )
 
     def evaluate(self, frames=None, tb_step: Optional[int] = None,
+                 sh_it: Optional[int] = None,
                  _healed_retry: bool = False) -> Dict:
         """Streamed eval: frames (Frames or lazy FrameSpecs) are decoded on a
         prefetch thread and metrics fetched with a 2-deep pipeline, so neither
@@ -1135,7 +1238,14 @@ class Trainer:
         from ..data.prefetch import iter_frames
 
         frames = frames if frames is not None else self.test_frames
-        deg = active_sh_degree(int(self.ts.step), self.cfg.model.sh_degree)
+        # sh_it: the ITERATION this eval is labeled with. Non-final evals run
+        # at the i-1 boundary (pre-step ordering) but the reference's SH
+        # degree during iteration i is min(i // 1000, max) — the warmup bump
+        # fires at the TOP of the loop body (train_ZJU.py:85-86), before
+        # training_report. Default (ad-hoc evals): the completed step count.
+        deg = active_sh_degree(
+            int(self.ts.step) if sh_it is None else int(sh_it),
+            self.cfg.model.sh_degree)
         vals = {"psnr": 0.0, "ssim": 0.0, "lpips": 0.0, "overflow": 0.0}
         pending: List[Dict] = []  # in-flight scalar results (device)
         n = 0
@@ -1204,7 +1314,7 @@ class Trainer:
                 # surfaced in its own key and a nonzero count on the retry
                 # itself is returned as-is
                 retried = self.evaluate(frames=frames, tb_step=tb_step,
-                                        _healed_retry=True)
+                                        sh_it=sh_it, _healed_retry=True)
                 retried["raster_overflow_healed_from"] = out["raster_overflow"]
                 return retried
             # regrowth hit the worst-case bound (drops are rect/NPb-bounded):

@@ -60,6 +60,7 @@ def test_cli_smoke(tmp_path):
         [
             "--data_root", str(data_root), "--subjects", "377",
             "--iterations", "5", "--test_iterations", "5",
+            "--save_iterations", "5",
             "--crop", "32", "--capacity", "256", "--n_init", "100",
             "--rasterizer", "reference",
             "--output", str(out), "--result_file", str(result_file),
@@ -105,6 +106,7 @@ def test_train_then_render_cli(tmp_path):
         [
             "--data_root", str(data_root), "--subjects", "377",
             "--iterations", "20", "--test_iterations", "20",
+            "--save_iterations", "20",
             "--crop", "32", "--capacity", "512", "--n_init", "100",
             "--rasterizer", "reference",
             "--output", str(out), "--result_file", str(result_file),

@@ -23,6 +23,10 @@ def test_nan_loss_dumps_loadable_snapshot(tmp_path):
     frames, _ = make_frames(scene, n_frames=2, H=32, W=32, crop=16)
     cfg = Config(
         model=ModelConfig(sh_degree=1, capacity=128, n_init_points=100),
+        # iterations must match the train() call: an overridden run length
+        # rebuilds step_fn (final-step-skip parity) and would clobber the
+        # poisoned wrapper below
+        optim=OptimConfig(iterations=5),
         pipe=PipelineConfig(rasterizer="reference"),
         model_path=str(tmp_path / "out"),
     )

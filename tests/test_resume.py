@@ -49,10 +49,11 @@ def test_resume_matches_uninterrupted(setup, tmp_path):
     scene, frames = setup
     ck = str(tmp_path / "chkpnt10.npz")
 
-    # uninterrupted run, checkpointing at iteration 10 (after that
-    # boundary's densify — exactly what the drivers' save_fn does)
+    # uninterrupted run, checkpointing at iteration 10 POST-step (after that
+    # boundary's densify — exactly what the drivers' ckpt_fn does, matching
+    # the reference's torch.save after optimizer.step(), train_ZJU.py:197-200)
     tr = Trainer(scene, frames, frames[:1], _cfg(), crop_hw=(32, 32))
-    tr.train(20, eval_iters=[10], save_fn=lambda it: tr.save(ck))
+    tr.train(20, eval_iters=[10], ckpt_fn=lambda it: tr.save(ck))
     full = _final_state(tr)
     assert full["step"] == 20
 
@@ -90,7 +91,7 @@ def test_resume_scan_engine_matches_queued_resume(setup, tmp_path):
     for engine in ("queued", "scan"):
         ck = str(tmp_path / f"ck_{engine}.npz")
         tr = Trainer(scene, frames, frames[:1], _cfg(), crop_hw=(32, 32))
-        tr.train(20, eval_iters=[10], save_fn=lambda it: tr.save(ck),
+        tr.train(20, eval_iters=[10], ckpt_fn=lambda it: tr.save(ck),
                  dispatch_engine=engine)
         its = []
         tr2 = Trainer(scene, frames, frames[:1], _cfg(), crop_hw=(32, 32),

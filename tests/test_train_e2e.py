@@ -323,7 +323,10 @@ class TestOverflowRecovery:
         sabotage = 512  # far below any plausible aligned-slot need
         tr._install_budgets(sabotage)
         tr.train(iterations=20, eval_iters=[4, 20])
-        assert overflows[4] > 0, "sabotaged budget failed to overflow"
+        # the first heal fires at the first boundary that sees a drop — the
+        # eval-at-4 pre-step boundary (iteration 3); everything before it
+        # must have overflowed, everything after the regrow must not
+        assert overflows[3] > 0, "sabotaged budget failed to overflow"
         assert tr._slot_budget > sabotage, "trainer never regrew the budget"
         assert overflows[20] == 0, (
             f"regrown budget {tr._slot_budget} still drops pairs")
@@ -445,7 +448,8 @@ class TestScanDispatchEngine:
         sabotage = 512
         tr._install_budgets(sabotage)
         tr.train(iterations=20, eval_iters=[4, 20], dispatch_engine="scan")
-        assert overflows[4] > 0, "sabotaged budget failed to overflow"
+        # first heal at the eval-at-4 pre-step boundary (iteration 3)
+        assert overflows[3] > 0, "sabotaged budget failed to overflow"
         assert tr._slot_budget > sabotage, "trainer never regrew the budget"
         assert overflows[20] == 0
 
@@ -608,7 +612,6 @@ def test_rect_cap_lowering_only_on_first_probe():
     assert tr._init_probe_done  # the constructor probe is the one first probe
     # recreate the historical bug state: init probe fit the defaults, so
     # nothing was installed and the default budgets are in force
-    tr._budgets_installed = False
     tr._slot_budget, tr._pair_budget, tr._max_tiles = 0, 0, 16
     # a probe that WOULD qualify for lowering (max_rect 4 -> cap 8) on a
     # first probe must not lower at a densify-boundary resize
@@ -619,12 +622,65 @@ def test_rect_cap_lowering_only_on_first_probe():
     assert tr._max_tiles == 16
 
 
-def test_save_fn_runs_at_eval_boundary_with_that_iterations_state():
-    """r3 review finding: the drivers saved chkpnt{N}/point_cloud/iteration_N
-    AFTER train() returned, so every per-iteration artifact held the FINAL
-    model. train(save_fn=...) now calls back at each eval boundary while
-    trainer.ts holds that iteration's state (reference saves in-loop,
-    train_ZJU.py:164-166,200)."""
+def test_eval_at_intermediate_test_iteration_matches_reference_ordering():
+    """MIGRATION's former 'one extra Adam step' divergence, now closed
+    (VERDICT r4 missing 3): the engines evaluate test iteration i on
+    post-step(i-1) params — the state the reference's training_report sees,
+    since it runs BEFORE iteration i's optimizer.step()
+    (train_ZJU.py:160-190). Pin the queued engine's eval at an intermediate
+    test iteration against a hand loop ordered exactly as the reference."""
+    from moss_tpu.train.train_step import active_sh_degree
+
+    scene = make_scene(n_verts=150)
+    frames, _ = make_frames(scene, n_frames=2, H=48, W=48, crop=32)
+    cfg = Config(
+        model=ModelConfig(sh_degree=1, capacity=256, n_init_points=150),
+        optim=OptimConfig(iterations=12, densify_from_iter=100,
+                          densify_until_iter=100, w_lpips=0.0),
+        pipe=PipelineConfig(rasterizer="reference"),
+    )
+    k = 7  # intermediate test iteration (k < iterations)
+
+    # reference-ordered oracle: dispatch steps 1..k-1, then evaluate —
+    # exactly `training_report(k)` before `optimizer.step()` at iteration k
+    tr_ref = Trainer(scene, frames, frames[:1], cfg, crop_hw=(32, 32))
+    rng = np.random.default_rng(cfg.seed)
+    order = []
+    while len(order) < cfg.optim.iterations:
+        order.extend(rng.permutation(len(frames)).tolist())
+    ts = tr_ref.ts
+    for it in range(1, k):
+        ts, _ = tr_ref.step_fn(ts, frames[order[it - 1]],
+                               active_sh_degree(it, cfg.model.sh_degree), None)
+    tr_ref.ts = ts
+    expected = tr_ref.evaluate(sh_it=k)
+    # ...and the OLD (post-step-k) state the r4 engines evaluated, to show
+    # the pin has teeth
+    ts_post, _ = tr_ref.step_fn(ts, frames[order[k - 1]],
+                                active_sh_degree(k, cfg.model.sh_degree), None)
+    tr_ref.ts = ts_post
+    stale = tr_ref.evaluate(sh_it=k)
+    assert expected["psnr"] != stale["psnr"], (
+        "step k moved nothing — the ordering pin would be vacuous")
+
+    tr = Trainer(scene, frames, frames[:1], cfg, crop_hw=(32, 32))
+    tr.train(iterations=12, eval_iters=[k])
+    got = tr.metrics_history[0]
+    assert got["iteration"] == k
+    np.testing.assert_allclose(got["psnr"], expected["psnr"], rtol=0, atol=1e-6)
+    np.testing.assert_allclose(got["ssim"], expected["ssim"], rtol=0, atol=1e-8)
+
+
+def test_save_and_ckpt_hooks_fire_with_reference_ordering():
+    """The reference orders its three in-loop artifact writes around the
+    optimizer step (train_ZJU.py:160-200): training_report + scene.save see
+    iteration i's PRE-step state (post-step(i-1)); the chkpnt torch.save
+    runs POST-step at the test iterations. train() reproduces that:
+    save_fn(i) fires at save_iters with ts.step == i-1 (== i only at the
+    final iteration, where the traced step skip makes them the same state);
+    ckpt_fn(i) fires at eval_iters with ts.step == i. save_iters is
+    independent of eval_iters (reference --save_iterations,
+    train_ZJU.py:298-307)."""
     scene = make_scene(n_verts=200)
     frames, _ = make_frames(scene, n_frames=2, H=64, W=64)
     cfg = Config(
@@ -633,13 +689,24 @@ def test_save_fn_runs_at_eval_boundary_with_that_iterations_state():
         pipe=PipelineConfig(rasterizer="reference"),
     )
     tr = Trainer(scene, frames, frames[:1], cfg, crop_hw=(48, 48))
-    seen = {}
+    saved, ckpts = {}, {}
 
     def save_fn(it):
-        seen[it] = (int(tr.ts.step),
-                    np.asarray(tr.ts.params["gauss"].xyz).copy())
-    tr.train(iterations=20, eval_iters=[10, 20], save_fn=save_fn)
-    assert sorted(seen) == [10, 20]
-    assert seen[10][0] == 10 and seen[20][0] == 20
+        saved[it] = (int(tr.ts.step),
+                     np.asarray(tr.ts.params["gauss"].xyz).copy())
+
+    def ckpt_fn(it):
+        ckpts[it] = int(tr.ts.step)
+
+    tr.train(iterations=20, eval_iters=[10, 20], save_fn=save_fn,
+             save_iters=[6, 10, 20], ckpt_fn=ckpt_fn)
+    # save_iters drives save_fn independently of eval_iters
+    assert sorted(saved) == [6, 10, 20]
+    # pre-step state at non-final saves, identical-state final boundary
+    assert saved[6][0] == 5 and saved[10][0] == 9 and saved[20][0] == 20
+    # chkpnt is post-step at the eval iterations
+    assert ckpts == {10: 10, 20: 20}
     # distinct states — not the final model stamped twice
-    assert not np.allclose(seen[10][1], seen[20][1])
+    assert not np.allclose(saved[10][1], saved[20][1])
+    # eval labels match the requested iterations
+    assert [m["iteration"] for m in tr.metrics_history] == [10, 20]

@@ -19,6 +19,10 @@ def parse_args():
     p.add_argument("--sequences", nargs="+", default=["olek_images0812"])
     p.add_argument("--iterations", type=int, default=3000)
     p.add_argument("--test_iterations", nargs="+", type=int, default=[2500, 2700, 3000])
+    p.add_argument("--save_iterations", nargs="+", type=int,
+                   default=[2500, 2700, 3000],
+                   help="checkpoint/PLY save iterations — independent of "
+                        "--test_iterations (reference train_ZJU.py:298-307)")
     p.add_argument("--output", default="output/monocap")
     p.add_argument("--result_file", default="result/monocap.txt")
     p.add_argument("--white_background", action="store_true")
@@ -99,6 +103,7 @@ def train_sequence(args, seq: str):
         pipe=PipelineConfig(
             rasterizer=args.rasterizer,
             test_iterations=tuple(args.test_iterations),
+            save_iterations=tuple(args.save_iterations),
         ),
         exp_name=f"monocap/{seq}",
         model_path=os.path.join(args.output, seq),
@@ -144,15 +149,18 @@ def train_sequence(args, seq: str):
                       source_path=path)
     from moss_tpu.train.checkpoint import save_reference_layout
 
-    def save_at_eval(it):
-        # at the eval boundary trainer.ts holds iteration it's state — a
-        # post-train() save would stamp every iteration's artifact with the
-        # final model (reference saves in-loop, train_ZJU.py:164-166,200).
-        # Only process 0 writes.
-        if not is_main:
-            return
-        trainer.save(os.path.join(cfg.model_path, f"chkpnt{it}.npz"))
-        save_reference_layout(cfg.model_path, it, trainer.ts)
+    def save_at(it):
+        # fires at --save_iterations with iteration it's PRE-STEP state (the
+        # reference's scene.save runs before optimizer.step(),
+        # train_ZJU.py:160-190). Only process 0 writes.
+        if is_main:
+            save_reference_layout(cfg.model_path, it, trainer.ts)
+
+    def ckpt_at(it):
+        # full train-state checkpoint, POST-step at the test iterations
+        # (reference torch.save, train_ZJU.py:197-200); --resume restores it.
+        if is_main:
+            trainer.save(os.path.join(cfg.model_path, f"chkpnt{it}.npz"))
 
     if args.resume:
         resumed = trainer.resume_latest(cfg.model_path)
@@ -160,8 +168,9 @@ def train_sequence(args, seq: str):
             print(f"[{seq}] resumed from iteration {resumed}")
 
     metrics = trainer.train(eval_iters=args.test_iterations,
+                            save_iters=args.save_iterations,
                             dispatch_engine=args.dispatch,
-                            save_fn=save_at_eval)
+                            save_fn=save_at, ckpt_fn=ckpt_at)
     if is_main:
         from moss_tpu.ops.lpips_jax import result_note
 

@@ -25,6 +25,10 @@ def parse_args():
                    default=["377", "386", "387", "392", "393", "394"])
     p.add_argument("--iterations", type=int, default=3000)
     p.add_argument("--test_iterations", nargs="+", type=int, default=[2500, 2700, 3000])
+    p.add_argument("--save_iterations", nargs="+", type=int,
+                   default=[2500, 2700, 3000],
+                   help="checkpoint/PLY save iterations — independent of "
+                        "--test_iterations (reference train_ZJU.py:298-307)")
     p.add_argument("--output", default="output/zju_mocap_refine")
     p.add_argument("--result_file", default="result/ZJU.txt")
     p.add_argument("--white_background", action="store_true")
@@ -110,6 +114,7 @@ def train_subject(args, subject: str):
         pipe=PipelineConfig(
             rasterizer=args.rasterizer,
             test_iterations=tuple(args.test_iterations),
+            save_iterations=tuple(args.save_iterations),
         ),
         exp_name=f"zju_mocap_refine/my_{subject}",
         model_path=os.path.join(args.output, f"my_{subject}"),
@@ -156,17 +161,23 @@ def train_subject(args, subject: str):
                       source_path=path)
     from moss_tpu.train.checkpoint import save_reference_layout
 
-    def save_at_eval(it):
-        # called AT the eval boundary, while trainer.ts holds iteration
-        # it's state — a post-train() save would stamp every iteration's
-        # artifact with the final model (reference saves in-loop,
-        # train_ZJU.py:164-166,200). Only process 0 writes.
-        if not is_main:
-            return
-        trainer.save(os.path.join(cfg.model_path, f"chkpnt{it}.npz"))
-        # reference artifact tree (scene/__init__.py:109-123): external 3DGS
-        # tooling walks point_cloud/iteration_N/; render drivers load either
-        save_reference_layout(cfg.model_path, it, trainer.ts)
+    def save_at(it):
+        # fires at --save_iterations while trainer.ts holds iteration it's
+        # PRE-STEP state — exactly what the reference's in-loop scene.save
+        # writes (training_report/scene.save run before optimizer.step(),
+        # train_ZJU.py:160-190). Reference artifact tree
+        # (scene/__init__.py:109-123): external 3DGS tooling walks
+        # point_cloud/iteration_N/; render drivers load either layout.
+        # Only process 0 writes.
+        if is_main:
+            save_reference_layout(cfg.model_path, it, trainer.ts)
+
+    def ckpt_at(it):
+        # full train-state checkpoint, POST-step at the test iterations —
+        # the reference's torch.save((capture(), it)) after optimizer.step()
+        # (train_ZJU.py:197-200); also what --resume restores.
+        if is_main:
+            trainer.save(os.path.join(cfg.model_path, f"chkpnt{it}.npz"))
 
     if args.resume:
         resumed = trainer.resume_latest(cfg.model_path)
@@ -174,8 +185,9 @@ def train_subject(args, subject: str):
             print(f"[{subject}] resumed from iteration {resumed}")
 
     metrics = trainer.train(eval_iters=args.test_iterations,
+                            save_iters=args.save_iterations,
                             dispatch_engine=args.dispatch,
-                            save_fn=save_at_eval)
+                            save_fn=save_at, ckpt_fn=ckpt_at)
     from moss_tpu.ops.lpips_jax import result_note
 
     if is_main:
