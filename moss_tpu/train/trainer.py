@@ -125,6 +125,9 @@ class Trainer:
         self._eval_heal_events = 0
         self._need_fns: Dict = {}
         self._step_version = 0
+        # unconditional host-boundary cadence (queue drain + log resolution);
+        # see _host_boundaries for why CPU-mesh runs lower it
+        self.boundary_interval = 100
         self.rasterize_fn = rasterize_fn if rasterize_fn is not None else (
             functools.partial(
                 rasterize_tpu,
@@ -778,14 +781,22 @@ class Trainer:
         )
         if cfg.model.white_background and o.densify_from_iter < o.densify_until_iter:
             b.add(o.densify_from_iter)
-        # Unconditional <=100-iter boundary (VERDICT r3 weak 2): outside the
-        # densify window the natural boundaries can be ~500 iters apart (eval
-        # + 1000-multiples only), which collapsed a whole segment's TB/EMA
-        # loss curve to one point and starved the drivers' every-100-iters
-        # progress print — the reference logs every iteration
+        # Unconditional <=boundary_interval boundary (VERDICT r3 weak 2):
+        # outside the densify window the natural boundaries can be ~500 iters
+        # apart (eval + 1000-multiples only), which collapsed a whole
+        # segment's TB/EMA loss curve to one point and starved the drivers'
+        # every-100-iters progress print — the reference logs every iteration
         # (train_ZJU.py:144-158). One queue drain per 100 iters is noise, and
         # a connected SIBR viewer needs the same cadence to not freeze.
-        b.update(range(100, iters + 1, 100))
+        # boundary_interval (default 100) is an attribute so CPU-virtual-
+        # device mesh runs (dryrun_multichip, tests) can drain the async
+        # queue more often: XLA:CPU collectives run under a 40 s rendezvous
+        # termination timeout, and a deep queue of N-device programs on one
+        # shared thread pool can starve a participant past it (measured: a
+        # 76-step queued segment on the 8-device CPU mesh aborts in
+        # rendezvous.cc; 10-step segments are safe). Real-TPU runs keep 100.
+        b.update(range(self.boundary_interval, iters + 1,
+                       self.boundary_interval))
         return sorted(x for x in b if x >= 1)
 
     def train(

@@ -2,9 +2,11 @@
 
 VERDICT r3 weak 4: `l1s[-1] < max(l1s[:-1])` passed whenever the final l1
 merely dipped below the single worst densify bump — a frozen-after-densify
-optimizer with one noisy spike slipped through. The hardened gate
-(__graft_entry__._assert_learning) requires a 10% margin below the peak and
-a non-rising tail.
+optimizer with one noisy spike slipped through. VERDICT r4 weak 2: the r3
+gate still passed a run ending 42% WORSE than it started, because "10%
+below the bump peak" is not recovery. The hardened gate
+(__graft_entry__._assert_learning) requires a 10% margin below the peak, a
+non-rising tail, AND a tail window mean at/below the starting l1.
 """
 import sys
 
@@ -34,6 +36,13 @@ def test_rising_tail_fails():
     # 12% below peak but diverging at the end
     with pytest.raises(AssertionError):
         _assert_learning([0.09, 0.05, 0.06, 0.079])
+
+
+def test_recovered_below_peak_but_above_start_fails():
+    # the MULTICHIP_r04 shape: well below the densify peak, flat tail — but
+    # never back to the pre-densify baseline (ended 42% above the start)
+    with pytest.raises(AssertionError, match="worse than it started"):
+        _assert_learning([0.0168, 0.045, 0.030, 0.0240, 0.0239])
 
 
 def test_single_point_fails():

@@ -17,9 +17,10 @@ from moss_tpu.train.trainer import Trainer
 
 
 def _boundaries(iters, eval_iters):
-    tr = Trainer.__new__(Trainer)  # _host_boundaries only touches cfg/gui
+    tr = Trainer.__new__(Trainer)  # _host_boundaries touches cfg + cadence
     tr.cfg = Config()
     tr.gui = None
+    tr.boundary_interval = 100
     return tr._host_boundaries(iters, eval_iters)
 
 
