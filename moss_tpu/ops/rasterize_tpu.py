@@ -415,8 +415,11 @@ def _bwd_kernel(gw: int, G: int, start_ref, count_ref, geom_hbm, gimg_ref,
     gimg = gimg_ref[0]           # (8, TILE_H, TILE_W)
     g_r, g_g, g_b = gimg[0:1], gimg[1:2], gimg[2:3]
     g_d, g_a = gimg[3:4], gimg[4:5]
-    Qtot = gimg[6:7]             # sum_j w_j dL/dw_j from forward outputs
-    tail = gimg[7:8]             # g_Tfinal * T_final
+    # row 6 = Qtot + g_Tfinal*T_final, folded OUTSIDE the kernel (bwd()): the
+    # suffix term the d-alpha formula needs is (s_after + tail) and
+    # s_after = Qtot - prefix, so pre-adding tail to Qtot deletes one
+    # full-width add per chunk from the inner loop
+    Qtail = gimg[6:7]
 
     def make_live(c, slot, K):
         # K < CHUNK: half-width tail path (see _fwd_kernel.make_live) — the
@@ -436,11 +439,15 @@ def _bwd_kernel(gw: int, G: int, start_ref, count_ref, geom_hbm, gimg_ref,
             )  # (K, TILE_H, TILE_W)
             q = w * dLdw
             prefix_incl = prefix + _cumsum_splats(q)
-            s_after = Qtot - prefix_incl
-            dalpha = jnp.where(
-                contrib, dLdw * T_before - (s_after + tail) / (1.0 - alpha), 0.0
+            s_after = Qtail - prefix_incl   # (Qtot - prefix) + tail, prefolded
+            # dalpha feeds ONLY dpower; fusing the clamp predicate into the
+            # contrib select drops a separate select + mask-multiply pair
+            live_g = contrib & (alpha < ALPHA_MAX)
+            dpower = jnp.where(
+                live_g,
+                (dLdw * T_before - s_after / (1.0 - alpha)) * alpha,
+                0.0,
             )
-            dpower = dalpha * alpha * (alpha < ALPHA_MAX).astype(jnp.float32)
 
             # Two-stage reductions, sublane axis first: the (K, TILE_W)
             # intermediates pack 8x denser than (K, TILE_H, TILE_W), so the
@@ -633,10 +640,11 @@ def _make_rasterize_pairs(grid_h: int, grid_w: int, G: int):
         geom, tile_start, tile_count, out = res
         r, g, b, d, a, T = out
         gr, gg, gb, gd, ga, gT = g_out
-        Qtot = gr * r + gg * g + gb * b + gd * d + ga * a
-        tail = gT * T
-        zeros = jnp.zeros_like(Qtot)
-        gimg = jnp.stack([gr, gg, gb, gd, ga, zeros, Qtot, tail], axis=0)[None]
+        # Qtot + tail prefolded (see _bwd_kernel): the kernel's d-alpha path
+        # only ever uses their sum
+        Qtail = gr * r + gg * g + gb * b + gd * d + ga * a + gT * T
+        zeros = jnp.zeros_like(Qtail)
+        gimg = jnp.stack([gr, gg, gb, gd, ga, zeros, Qtail, zeros], axis=0)[None]
         # (1, 8, Hp, Wp)
         dgeom = _run_bwd(tile_start, tile_count, geom, gimg, grid_h, grid_w, G)
         return (
