@@ -670,6 +670,15 @@ def test_eval_at_intermediate_test_iteration_matches_reference_ordering():
     np.testing.assert_allclose(got["psnr"], expected["psnr"], rtol=0, atol=1e-6)
     np.testing.assert_allclose(got["ssim"], expected["ssim"], rtol=0, atol=1e-8)
 
+    # the scan engine reaches the same pre-step boundary through min-clamped
+    # chunk blocks (the k-1 split makes gaps the label-gcd doesn't divide)
+    tr_s = Trainer(scene, frames, frames[:1], cfg, crop_hw=(32, 32))
+    tr_s.train(iterations=12, eval_iters=[k], dispatch_engine="scan")
+    got_s = tr_s.metrics_history[0]
+    assert got_s["iteration"] == k
+    np.testing.assert_allclose(got_s["psnr"], expected["psnr"],
+                               rtol=1e-5, atol=1e-5)
+
 
 def test_save_and_ckpt_hooks_fire_with_reference_ordering():
     """The reference orders its three in-loop artifact writes around the
