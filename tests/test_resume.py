@@ -105,6 +105,32 @@ def test_resume_scan_engine_matches_queued_resume(setup, tmp_path):
     )
 
 
+def test_resume_refires_eval_whose_prestep_boundary_is_the_resume_point(
+        setup, tmp_path):
+    """Evals run at the i-1 PRE-step boundary (reference ordering). Resuming
+    from a post-step checkpoint at iteration s must re-fire an eval labeled
+    s+1 (its boundary IS the resume point, and iteration s+1 > s is replay
+    territory) with the identical value, while evals labeled <= s stay
+    skipped."""
+    scene, frames = setup
+    ck = str(tmp_path / "edge.npz")
+    tr = Trainer(scene, frames, frames[:1], _cfg(), crop_hw=(32, 32))
+    tr.train(20, eval_iters=[10, 11, 20],
+             ckpt_fn=lambda it: tr.save(ck) if it == 10 else None)
+    full = [(m["iteration"], float(m["psnr"])) for m in tr.metrics_history]
+
+    tr2 = Trainer(scene, frames, frames[:1], _cfg(), crop_hw=(32, 32))
+    tr2.load(ck)
+    assert int(tr2.ts.step) == 10
+    tr2.train(20, eval_iters=[10, 11, 20])
+    resumed = [(m["iteration"], float(m["psnr"])) for m in tr2.metrics_history]
+    assert [i for i, _ in resumed] == [11, 20]
+    for (i_f, p_f), (i_r, p_r) in zip(
+            [x for x in full if x[0] >= 11], resumed):
+        assert i_f == i_r
+        np.testing.assert_allclose(p_r, p_f, rtol=1e-6)
+
+
 def test_train_past_end_is_noop(setup, tmp_path):
     scene, frames = setup
     tr = Trainer(scene, frames, frames[:1], _cfg(), crop_hw=(32, 32))
