@@ -212,6 +212,13 @@ def main():
                 or (step_env != "0" and jax.devices()[0].platform != "cpu"))
     step_ms = _train_step_ms(H, W) if run_step else None
     psnr, psnr_floor = (_quality_psnr(H, W) if run_step else (None, None))
+    if psnr is not None and psnr_floor is not None and psnr < psnr_floor:
+        # loud, but keep exit 0 + the JSON line: the driver records the JSON
+        # (psnr_ok: false IS the machine-readable failure); a nonzero exit
+        # would discard the measurement that shows the regression
+        print(f"# QUALITY GATE FAILED: psnr_400 {psnr:.2f} < floor "
+              f"{psnr_floor} — a densify/loss/raster math regression",
+              file=sys.stderr)
 
     print(json.dumps({
         "metric": f"rays_per_s_per_chip_fwd_bwd_{H}x{W}_46k",

@@ -360,11 +360,12 @@ class Trainer:
         the full-scale e2e run, 2x headroom absorbs the growth entirely."""
         if not self._autosize or not self.train_frames:
             return
-        # the init-only rect-cap lowering must be gated on "is this the
-        # FIRST probe", not on _budgets_installed: when the init probe fits
-        # the defaults the function early-returns WITHOUT installing, and a
-        # later densify-boundary resize would otherwise lower the effective
-        # cap from 16 mid-run — exactly the shrink the policy rules out
+        # the init-only rect-cap lowering is gated on "is this the FIRST
+        # probe", not on whether that probe installed anything: when the
+        # init probe fits the defaults the function early-returns WITHOUT
+        # installing, and a later densify-boundary resize would otherwise
+        # lower the effective cap mid-run — exactly the shrink the policy
+        # rules out (an installed-budgets flag was the historical bug)
         first_probe = not self._init_probe_done
         self._init_probe_done = True
         probe = self.train_frames if full else self._probe_frames()
@@ -877,7 +878,11 @@ class Trainer:
             # program — an overridden run length must rebuild the step so
             # the final-step skip fires at the ACTUAL last iteration, not
             # mid-run or never (ADVICE r4: Trainer.train(iterations=N) with
-            # N != cfg.optim.iterations silently broke final-state parity)
+            # N != cfg.optim.iterations silently broke final-state parity).
+            # DELIBERATELY PERSISTED to self.cfg: the override redefines
+            # this trainer's run length, so anything that later reads or
+            # saves trainer.cfg (save_json, resume) sees the run that was
+            # actually trained, not the stale construction-time value.
             self.cfg = cfg = dataclasses.replace(
                 cfg, optim=dataclasses.replace(cfg.optim, iterations=iters))
             self._rebuild_step()

@@ -601,10 +601,11 @@ def test_eager_dispatch_engine():
 def test_rect_cap_lowering_only_on_first_probe():
     """r3 review finding: the init-only rect-cap lowering was gated on
     _budgets_installed, which stays False when the init probe fits the
-    defaults (every early-return path skips _install_budgets) — so a later
+    defaults (every early-return path installs nothing) — so a later
     densify-boundary resize could lower the effective cap from 16 MID-RUN,
     shrinking a budget the policy says never shrinks. The gate is now
-    "first probe ever", independent of whether that probe installed."""
+    "first probe ever" (_init_probe_done), independent of whether that
+    probe installed."""
     scene = make_scene(n_verts=200)
     frames, _ = make_frames(scene, n_frames=2, H=64, W=128, crop=48)
     cfg = Config(model=ModelConfig(sh_degree=1, capacity=256, n_init_points=200))
