@@ -1344,21 +1344,62 @@ class Trainer:
     def save(self, path: str):
         ckpt.save_checkpoint(path, self.ts)
 
+    def _reset_budget_state(self):
+        """Forget the probe/heal history so the next _resize_pair_buffer
+        probes the CURRENT cloud from scratch.
+
+        The never-shrink budget policy exists to avoid mid-TRAINING
+        recompile churn and probe-understatement races; a checkpoint load
+        replaces the cloud wholesale, making the old probe irrelevant — and
+        keeping it is a real cost: the render drivers build a 6890-point
+        init cloud whose mean-3NN splats escalate the rect cap to ~64, then
+        load a small-splat trained cloud; the key sort scales with
+        capacity*B, so the stale cap taxes every eval frame ~6x in sort keys
+        (measured: 2.95M keys vs ~500k, tools/bench_eval_fps.py r5).
+        Budget history is not checkpointed anyway, so resume never relied
+        on it."""
+        self._slot_budget = 0
+        self._pair_budget = 0
+        self._max_tiles = self.cfg.pipe.max_tiles_per_gaussian
+        self._eval_slot = 0
+        self._eval_pair = 0
+        self._eval_max_tiles = self.cfg.pipe.max_tiles_per_gaussian
+        self._init_probe_done = False
+        self._heal_events = 0
+        self._eval_heal_events = 0
+        self._overflow_persists = False
+
     def load(self, path: str):
         self.ts = ckpt.restore_checkpoint(path, self.ts)
         # budgets were probed on the INIT cloud at construction; a checkpoint
-        # can hold a far denser one (the render drivers build a 6890-point
-        # init then load a ~46k trained cloud — the 2x init headroom does not
-        # cover that growth), and eval renders have no overflow hook the
-        # self-heal could watch — re-probe under the LOADED cloud
+        # can hold a far denser one (growth the 2x init headroom may not
+        # cover) or a far SMALLER-splat one (the render drivers' trained
+        # clouds — a stale escalated rect cap taxes the eval key sort, see
+        # _reset_budget_state) — re-probe from scratch under the LOADED cloud
+        self._reprobe_from_scratch()
+
+    def _reprobe_from_scratch(self):
+        if not self._autosize:
+            return
+        self._reset_budget_state()
         self._resize_pair_buffer()
+        # unconditional install: the probe may have concluded "defaults
+        # cover" for the train and/or (mesh) eval budgets and skipped
+        # installing — but the LIVE step/rasterize fns still carry the
+        # pre-load budgets, and a stale escalation must not outlive the
+        # cloud that caused it (idempotent when the probe did install)
+        self._install_budgets(self._slot_budget, self._pair_budget,
+                              self._max_tiles)
+        if self.mesh is not None:
+            self._install_eval_budgets(
+                self._eval_slot, self._eval_pair, self._eval_max_tiles)
 
     def set_state(self, ts):
         """Replace the train state from an external source (e.g.
-        checkpoint.load_reference_layout) — same post-load budget re-probe
+        checkpoint.load_reference_layout) — same fresh budget re-probe
         as load()."""
         self.ts = ts
-        self._resize_pair_buffer()
+        self._reprobe_from_scratch()
 
     def resume_latest(self, model_path: str) -> int:
         """Failure recovery (SURVEY.md §5.3): restore the newest periodic

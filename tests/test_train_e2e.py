@@ -623,6 +623,44 @@ def test_rect_cap_lowering_only_on_first_probe():
     assert tr._max_tiles == 16
 
 
+def test_load_reprobes_budgets_from_scratch(tmp_path):
+    """A stale escalated rect cap must not outlive the cloud that caused it
+    (r5 finding, tools/bench_eval_fps.py): the render drivers build a
+    big-splat init cloud — the probe escalates max_tiles — then load a
+    small-splat trained cloud; the key sort scales with capacity*max_tiles,
+    so keeping the escalation taxes every eval frame (measured 2.95M sort
+    keys vs ~500k). load() resets the probe/heal state and re-probes the
+    loaded cloud fresh; budget history is not checkpointed, so resume never
+    relied on it."""
+    import dataclasses as dc
+
+    from moss_tpu.train.checkpoint import save_checkpoint
+
+    scene = make_scene(n_verts=150)
+    frames, _ = make_frames(scene, n_frames=2, H=512, W=128, crop=32)
+    cfg = Config(
+        model=ModelConfig(sh_degree=1, capacity=256, n_init_points=150),
+        optim=OptimConfig(iterations=4),
+    )
+    tr = Trainer(scene, frames, frames[:1], cfg, crop_hw=(32, 32))
+    B0 = cfg.pipe.max_tiles_per_gaussian
+    assert tr._max_tiles > B0, (
+        "fixture failed to escalate the rect cap — init splats too small")
+
+    # a "trained" cloud: tiny splats
+    g = tr.ts.params["gauss"]
+    small = dc.replace(g, scaling=jnp.full_like(g.scaling, jnp.log(0.002)))
+    ts_small = tr.ts._replace(params={**tr.ts.params, "gauss": small})
+    ck = str(tmp_path / "trained.npz")
+    save_checkpoint(ck, ts_small)
+
+    v_before = tr._step_version
+    tr.load(ck)
+    assert tr._max_tiles <= B0, (
+        f"stale escalated rect cap survived load(): {tr._max_tiles} > {B0}")
+    assert tr._step_version > v_before  # live fns rebuilt under fresh budgets
+
+
 def test_eval_at_intermediate_test_iteration_matches_reference_ordering():
     """MIGRATION's former 'one extra Adam step' divergence, now closed
     (VERDICT r4 missing 3): the engines evaluate test iteration i on
