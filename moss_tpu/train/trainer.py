@@ -1401,6 +1401,59 @@ class Trainer:
         self.ts = ts
         self._reprobe_from_scratch()
 
+    def compact_for_eval(self, granularity: int = 2048) -> int:
+        """Shrink the static capacity to fit the live cloud — the serving
+        counterpart of the reference sizing its model to the loaded PLY's
+        exact point count (load_ply, gaussian_model.py:319-360). Every
+        per-pair cost here — the packed key sort (capacity*B keys), the
+        pair table, the slot probe — scales with CAPACITY, not live count,
+        so rendering a ~11k-point trained cloud inside the 46k training
+        buffer pays ~4x per frame (measured, PERF.md "Eval render FPS").
+        Packs live slots to the front (stable order), truncates to the next
+        `granularity` multiple (min one lane-aligned block), re-initializes
+        the optimizer state at the new shape and re-probes the raster
+        budgets from scratch.
+
+        EVAL/RENDER ONLY: training state does not survive (Adam moments and
+        densify stats reset, densification headroom gone), and any
+        PER-GAUSSIAN cache built before the compaction (e.g. the cached
+        deform transforms of the MLP-free eval path) is invalid — recompute
+        such caches afterwards (the render drivers cache after compacting).
+        Returns the new capacity (unchanged when the cloud already fills
+        it)."""
+        from .optim import make_optimizer
+
+        valid = np.asarray(self.ts.gstate.valid)
+        n = int(valid.sum())
+        cap2 = max(granularity, -(-n // granularity) * granularity)
+        g = self.ts.params["gauss"]
+        if cap2 >= g.capacity:
+            return g.capacity
+        perm = np.argsort(~valid, kind="stable")  # live rows first, in order
+
+        def take(a):
+            return jnp.asarray(np.asarray(a)[perm][:cap2])
+
+        params = dict(self.ts.params)
+        params["gauss"] = G.GaussianParams(
+            xyz=take(g.xyz), f_dc=take(g.f_dc), f_rest=take(g.f_rest),
+            scaling=take(g.scaling), rotation=take(g.rotation),
+            opacity=take(g.opacity),
+        )
+        gs = self.ts.gstate
+        gstate = G.GaussianState(
+            valid=take(gs.valid), max_radii2d=take(gs.max_radii2d),
+            xyz_grad_accum=take(gs.xyz_grad_accum), denom=take(gs.denom),
+            joint_F=gs.joint_F, lbs_weight_sum=take(gs.lbs_weight_sum),
+        )
+        self.cfg = dataclasses.replace(
+            self.cfg, model=dataclasses.replace(self.cfg.model, capacity=cap2))
+        opt_state = make_optimizer(
+            self.cfg.optim, spatial_lr_scale=self.extent).init(params)
+        self.ts = TrainState(params, opt_state, gstate, self.ts.step)
+        self._reprobe_from_scratch()
+        return cap2
+
     def resume_latest(self, model_path: str) -> int:
         """Failure recovery (SURVEY.md §5.3): restore the newest periodic
         checkpoint under model_path and return its step (0 if none). Unlike

@@ -30,6 +30,10 @@ def parse_args():
     p.add_argument("--white_background", action="store_true")
     p.add_argument("--rasterizer", choices=["pallas", "reference"], default="pallas")
     p.add_argument("--reader", default="zju", choices=["zju", "monocap"])
+    p.add_argument("--keep_capacity", action="store_true",
+                   help="skip the eval capacity fit (render inside the full "
+                        "training-capacity buffer; slower, for debugging "
+                        "buffer-dependent behavior)")
     p.add_argument("--novel_view", type=int, default=0, metavar="N",
                    help="free-viewpoint mode: render N orbit views evenly "
                         "spaced over the full orbit circle per test pose "
@@ -138,6 +142,16 @@ def render_subject(args, subject: str, iteration: int):
 
         trainer.set_state(
             load_reference_layout(cfg.model_path, iteration, trainer.ts))
+
+    if not args.keep_capacity:
+        # serving-path capacity fit: the key sort / pair table scale with
+        # CAPACITY, not live count — fitting the buffer to the loaded cloud
+        # is worth ~4x/frame at typical trained sizes (Trainer.compact_for_
+        # eval; the reference sizes its model to the PLY's point count)
+        cap = trainer.compact_for_eval()
+        n_live = int(jnp.sum(trainer.ts.gstate.valid))
+        print(f"[{subject}] eval capacity fit: {n_live} live points in "
+              f"{cap}-slot buffer")
 
     bg = jnp.ones(3) if args.white_background else jnp.zeros(3)
     lp = lpips_jax.get_default_params()

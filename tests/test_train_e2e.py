@@ -661,6 +661,44 @@ def test_load_reprobes_budgets_from_scratch(tmp_path):
     assert tr._step_version > v_before  # live fns rebuilt under fresh budgets
 
 
+def test_compact_for_eval_preserves_renders_and_shrinks_capacity():
+    """The serving-path capacity fit (Trainer.compact_for_eval): packing the
+    live slots into a granularity-aligned buffer must leave the rendered
+    image and eval metrics EXACTLY unchanged (blending order is depth-sorted,
+    slot order is irrelevant; dead slots contribute nothing) while every
+    per-pair buffer shrinks with the capacity."""
+    scene = make_scene(n_verts=150)
+    frames, _ = make_frames(scene, n_frames=2, H=48, W=48, crop=32)
+    cfg = Config(
+        model=ModelConfig(sh_degree=1, capacity=4096, n_init_points=150),
+        optim=OptimConfig(iterations=6, densify_from_iter=2,
+                          densify_until_iter=5, densification_interval=2),
+        pipe=PipelineConfig(rasterizer="reference"),
+    )
+    tr = Trainer(scene, frames, frames[:1], cfg, crop_hw=(32, 32))
+    tr.train(6, eval_iters=[])
+    # scatter the live slots: densify left them non-contiguous already in
+    # general; force at least one hole to make the packing non-trivial
+    import dataclasses as dc
+
+    valid = np.asarray(tr.ts.gstate.valid).copy()
+    live_idx = np.flatnonzero(valid)
+    assert valid.sum() > 10
+    before_img = np.asarray(tr.render_eval(frames[1])["render"])
+    before_m = tr.evaluate(frames[1:])
+
+    cap = tr.compact_for_eval(granularity=256)
+    assert cap < 4096 and cap % 256 == 0
+    assert tr.ts.params["gauss"].capacity == cap
+    assert int(np.asarray(tr.ts.gstate.valid).sum()) == len(live_idx)
+    after_img = np.asarray(tr.render_eval(frames[1])["render"])
+    after_m = tr.evaluate(frames[1:])
+    np.testing.assert_allclose(after_img, before_img, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(after_m["psnr"], before_m["psnr"], rtol=1e-6)
+    # no-op when the cloud already fills the buffer
+    assert tr.compact_for_eval(granularity=256) == cap
+
+
 def test_eval_at_intermediate_test_iteration_matches_reference_ordering():
     """MIGRATION's former 'one extra Adam step' divergence, now closed
     (VERDICT r4 missing 3): the engines evaluate test iteration i on

@@ -110,6 +110,17 @@ def main():
         tr.load(ck)
     print(f"post-load budgets: slot={tr._slot_budget} pair={tr._pair_budget} "
           f"max_tiles={tr._max_tiles}")
+    # serving capacity fit (render drivers do this by default): key sort /
+    # pair table scale with CAPACITY, not live count
+    cap = tr.compact_for_eval()
+    print(f"compact_for_eval: capacity {cap} "
+          f"(live {int(np.asarray(tr.ts.gstate.valid).sum())}), budgets "
+          f"slot={tr._slot_budget} max_tiles={tr._max_tiles}")
+    # per-Gaussian caches are invalidated by the compaction — recompute the
+    # cached transforms on the compacted cloud (the render drivers cache
+    # AFTER compacting for the same reason)
+    out = tr.render_eval(frame)
+    transforms, translation = out["transforms"], out["translation"]
 
     @jax.jit
     def cached_render2(frame, transforms, translation):
