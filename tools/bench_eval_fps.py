@@ -122,19 +122,31 @@ def main():
     out = tr.render_eval(frame)
     transforms, translation = out["transforms"], out["translation"]
 
-    @jax.jit
-    def cached_render2(frame, transforms, translation):
-        out = render_frame(
-            tr.ts.params["gauss"], tr.ts.gstate.valid, None, scene,
-            frame.smpl_params, frame.camera, bg, cfg.model.sh_degree,
-            rasterize_fn=tr.rasterize_fn,
-            cached_transforms=transforms, cached_translation=translation,
-        )
-        return out["render"]
+    # sub-ms frames: the per-dispatch difference method is UNRELIABLE here
+    # (CLAUDE.md — relay jitter produced a NEGATIVE reading at 1024²); use a
+    # scan-of-K single-dispatch probe. The per-step micron translation nudge
+    # defeats loop-invariant hoisting of the otherwise-constant render.
+    K = 50
 
-    dt3 = queued_time(cached_render2, frame, transforms, translation)
+    @jax.jit
+    def scan_render(frame, transforms, translation):
+        def body(acc, i):
+            out = render_frame(
+                tr.ts.params["gauss"], tr.ts.gstate.valid, None, scene,
+                frame.smpl_params, frame.camera, bg, cfg.model.sh_degree,
+                rasterize_fn=tr.rasterize_fn,
+                cached_transforms=transforms,
+                cached_translation=translation + 1e-6 * i,
+            )
+            return acc + jnp.sum(out["render"]), None
+
+        acc, _ = jax.lax.scan(body, 0.0, jnp.arange(K, dtype=jnp.float32))
+        return acc
+
+    dt3 = queued_time(scan_render, frame, transforms, translation, n=3) / K
     print(f"eval render: {dt3 * 1e3:.2f} ms/frame = {1.0 / dt3:.1f} FPS "
-          f"(trained-scale cloud: sigma <= 1 cm, cached-transform path)")
+          f"(trained-scale cloud: sigma <= 1 cm, cached-transform path, "
+          f"scan-of-{K} single-dispatch probe)")
 
 
 if __name__ == "__main__":
