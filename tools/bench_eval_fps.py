@@ -148,6 +148,29 @@ def main():
           f"(trained-scale cloud: sigma <= 1 cm, cached-transform path, "
           f"scan-of-{K} single-dispatch probe)")
 
+    # live-viewer regime on the compacted cloud: novel POSES need the full
+    # path (pose MLPs + LBS deform + rasterize) every frame
+    @jax.jit
+    def scan_render_full(frame):
+        def body(acc, i):
+            # smpl_params is a dict (data/frames.py); the micro pose nudge
+            # defeats loop-invariant hoisting of the whole render
+            sp = dict(frame.smpl_params)
+            sp["poses"] = sp["poses"] + 1e-6 * i
+            out = render_frame(
+                tr.ts.params["gauss"], tr.ts.gstate.valid,
+                tr.ts.params.get("mlps"), scene, sp, frame.camera, bg,
+                cfg.model.sh_degree, rasterize_fn=tr.rasterize_fn,
+            )
+            return acc + jnp.sum(out["render"]), None
+
+        acc, _ = jax.lax.scan(body, 0.0, jnp.arange(K, dtype=jnp.float32))
+        return acc
+
+    dt4 = queued_time(scan_render_full, frame, n=3) / K
+    print(f"full render: {dt4 * 1e3:.2f} ms/frame = {1.0 / dt4:.1f} FPS "
+          f"(trained-scale cloud, pose MLPs + LBS deform, scan-of-{K})")
+
 
 if __name__ == "__main__":
     main()
